@@ -1,0 +1,104 @@
+"""Independent single-node NumPy oracle (SURVEY.md §5).
+
+Implements the complete frozen contract (§1.3) — dedup-by-url,
+docID assignment, tokenization, BM25, top-k — with plain Python
+dicts and NumPy, sharing ONLY the frozen pure functions in
+:mod:`textops` / :mod:`scoring` with the Spark engine. Rank-identity
+of the Spark engine against this oracle operationalizes the
+BASELINE.json north rule "rank-identical to the reference" (no
+executable reference exists in this sandbox; SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import TOP_K
+from .scoring import idf as _idf
+from .scoring import partial as _partial
+from .textops import extract, tokenize
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int
+    avgdl: float
+    urls: list[str]                      # docid -> url
+    dls: np.ndarray                      # docid -> doc length
+    postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term -> (docids, tfs)
+    df: dict[str, int] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if not self.df:
+            self.df = {t: int(p[0].size) for t, p in self.postings.items()}
+
+
+def build(rows: list[dict]) -> OracleIndex:
+    """Build the oracle index from rows with keys
+    (url, warc_ts, html, text, lang). Applies the full frozen
+    pipeline: lang='en' filter, non-empty text, dedup latest-wins,
+    E(html) when text is null, lexicographic dense docids.
+    """
+    # dedup by url: keep max warc_ts, ties -> first seen (§1.3.3)
+    best: dict[str, dict] = {}
+    for r in rows:
+        u = r["url"]
+        if u not in best or r["warc_ts"] > best[u]["warc_ts"]:
+            best[u] = r
+    # filters (P2, P3) after text materialization
+    docs: dict[str, str] = {}
+    for u, r in best.items():
+        if r.get("lang") != "en":
+            continue
+        text = r.get("text")
+        if text is None:
+            text = extract(r.get("html"))
+        if not text:
+            continue
+        docs[u] = text
+    urls = sorted(docs)  # bytewise lexicographic (ASCII corpus)
+    n = len(urls)
+    dls = np.zeros(n, dtype=np.int64)
+    post: dict[str, list[tuple[int, int]]] = {}
+    for docid, u in enumerate(urls):
+        toks = tokenize(docs[u])
+        dls[docid] = len(toks)
+        for term, tf in Counter(toks).items():
+            post.setdefault(term, []).append((docid, tf))
+    postings = {
+        t: (
+            np.array([d for d, _ in ps], dtype=np.int64),
+            np.array([tf for _, tf in ps], dtype=np.int64),
+        )
+        for t, ps in post.items()
+    }
+    avgdl = float(dls.sum()) / n if n else 0.0
+    return OracleIndex(n_docs=n, avgdl=avgdl, urls=urls, dls=dls, postings=postings)
+
+
+def search(index: OracleIndex, qtext: str, k: int = TOP_K) -> list[tuple[int, int, float]]:
+    """BM25 top-k for one query -> [(rank, docid, score)], disjunctive,
+    ordered by (score desc, docid asc); term sum in sorted term order."""
+    terms = sorted(set(tokenize(qtext)))
+    acc: dict[int, float] = {}
+    for t in terms:  # sorted order fixes FP addition order (§1.3.4)
+        if t not in index.postings:
+            continue
+        docids, tfs = index.postings[t]
+        w = _idf(index.df[t], index.n_docs)
+        contrib = w * _partial(tfs, index.dls[docids], index.avgdl)
+        for d, c in zip(docids.tolist(), contrib.tolist()):
+            acc[d] = acc.get(d, 0.0) + c
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+
+
+def search_all(index: OracleIndex, queries: list[tuple[int, str]], k: int = TOP_K) -> list[tuple[int, int, int, float]]:
+    """[(query_id, rank, docid, score)] for a query set."""
+    out = []
+    for qid, qtext in queries:
+        out.extend((qid, r, d, s) for r, d, s in search(index, qtext, k))
+    return out
