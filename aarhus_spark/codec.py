@@ -107,6 +107,75 @@ def decode_postings(payload: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray
     return docids, tfs.astype(np.int64), dls.astype(np.int64)
 
 
+def encode_blocks(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = 128,
+    k1: float | None = None,
+    b: float | None = None,
+) -> tuple[bytes, list[tuple[int, float, int]]]:
+    """Encode a posting run as independent fixed-size blocks.
+
+    Returns ``(payload, blocks)`` where payload is the concatenation of
+    per-block self-contained runs (each starts with varint n and an
+    absolute first docid) and ``blocks[i] = (last_docid, max_partial,
+    byte_offset)`` — the block-max metadata of SURVEY §1.4 (Ding & Suel
+    2011) plus the byte offset that lets query-time WAND decode only
+    surviving blocks. ``max_partial`` is the exact per-block maximum of
+    the BM25 tf/length factor tf/(tf + k1*(1-b+b*dl/avgdl)) — idf is
+    applied at query time.
+    """
+    from .config import B, K1  # late import to keep codec numpy-only at module load
+
+    k1 = K1 if k1 is None else k1
+    b = B if b is None else b
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = docids.size
+    chunks: list[bytes] = []
+    blocks: list[tuple[int, float, int]] = []
+    off = 0
+    tf_f = tfs.astype(np.float64)
+    norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl) if avgdl > 0 else k1
+    partials = tf_f / (tf_f + norm)
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        payload = encode_postings(docids[s:e], tfs[s:e], dls[s:e])
+        blocks.append((int(docids[e - 1]), float(partials[s:e].max()), off))
+        chunks.append(payload)
+        off += len(payload)
+    return b"".join(chunks), blocks
+
+
+def decode_block(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the single block starting at byte ``offset``."""
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    (n_arr, off) = vbyte_decode(buf, 1, offset)
+    n = int(n_arr[0])
+    deltas, off = vbyte_decode(buf, n, off)
+    tfs, off = vbyte_decode(buf, n, off)
+    dls, off = vbyte_decode(buf, n, off)
+    return np.cumsum(deltas.astype(np.int64)), tfs.astype(np.int64), dls.astype(np.int64)
+
+
+def decode_all_blocks(payload: bytes | np.ndarray, offsets: list[int] | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode every block of a blocked run (given the block offsets)."""
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    ds, ts, ls = [], [], []
+    for off in offsets:
+        d, t, l = decode_block(buf, int(off))
+        ds.append(d)
+        ts.append(t)
+        ls.append(l)
+    if not ds:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)
+
+
 def concat_postings(payloads: list[bytes]) -> bytes:
     """k-way merge of posting runs with pairwise-disjoint, ordered docid
     ranges (the range-salted case, SURVEY §2.3 T7): decode, verify

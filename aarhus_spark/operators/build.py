@@ -1,0 +1,526 @@
+"""Distributed SPIMI-style inverted-index build (SURVEY.md §2.3, §3.1).
+
+Pipeline (one ``build_index`` call):
+
+  S1 pages scan
+  → P1-P4   project / lang filter / empty guard / dedup-by-url (window)
+  → P5      E(html) via vectorized Arrow UDF where text is null
+  → T8      global lexicographic dense docID assignment (2-pass, no
+            monotonically_increasing_id)
+  → T1      tokenize → (docid, term, tf, dl) rows via mapInPandas
+  → T2-T4   doclens, term dictionary (df, cf), corpus stats (N, avgdl)
+  → T5      head-term skew salting: docid-RANGE salts (contiguous
+            fragments → the merge is an ordered concat, delta-gaps small)
+  → big shuffle: repartition by bucket = hash(term, salt) — the ONE
+            wide exchange of the build (SURVEY §3.1)
+  → O1+T6   sortWithinPartitions(term, docid) → blocked VByte posting
+            fragments via mapInPandas (numpy codec, no per-row Python)
+  → S3+S5   fragments written partitionBy(bucket) with one manifest
+            JSON per bucket — the checkpoint/resume unit
+  → T7      merge: tail fragments pass through columnar; head (salted)
+            fragments k-way merged per term via applyInPandas
+  → S4+S6   doclens/stats/metrics sinks.
+
+Resumability (BASELINE.json north rule): fragment buckets are
+content-addressed by a deterministic ``bucket = pmod(xxhash64(term,
+salt), n_buckets)``; a rerun recomputes only buckets whose manifest is
+missing (kill/rerun e2e test in tests/test_resume.py). At production
+scale the token stream itself would also be checkpointed to the object
+store before the bucket shuffle; in-sandbox we persist() it.
+
+Scale notes (10^12 docs, SURVEY §7 "hard parts"): every wide operation
+here shuffles rows that are O(tokens) with ~20-byte rows; head-term
+skew is bounded by range-salting (max fragment ≈ df/SALTS); no
+posting list ever materializes unchunked beyond MAX_POSTINGS_PER_ROW;
+the merge moves only encoded bytes, never re-shuffles raw tokens.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codec import decode_all_blocks, encode_blocks
+from ..config import BLOCK_SIZE, HEAD_DF_QUANTILE, MAX_POSTINGS_PER_ROW, SALTS
+from ..textops import extract_series, tokenize_series
+
+TOKENS_SCHEMA = "docid long, term string, tf long, dl long"
+
+# pyarrow schema for task-side fragment parquet writes (the
+# per-bucket checkpoint unit; see _make_fragment_encoder)
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+_BLOCKS_PA = pa.list_(pa.struct([
+    ("last_docid", pa.int64()),
+    ("max_partial", pa.float64()),
+    ("offset", pa.int64()),
+]))
+FRAG_PA_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("salt", pa.int32()),
+    ("is_head", pa.bool_()),
+    ("n", pa.int64()),
+    ("cf", pa.int64()),
+    ("blocks", _BLOCKS_PA),
+    ("postings", pa.binary()),
+])
+
+FRAGMENT_SUMMARY_SCHEMA = "bucket int, rows long, postings long, wall_s double"
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("df", T.LongType()),      # GLOBAL postings count for the term
+    T.StructField("cf", T.LongType()),      # global collection frequency
+    T.StructField("chunk", T.IntegerType()),
+    T.StructField("n", T.LongType()),       # postings in THIS row
+    T.StructField("blocks", T.ArrayType(T.StructType([
+        T.StructField("last_docid", T.LongType()),
+        T.StructField("max_partial", T.DoubleType()),
+        T.StructField("offset", T.LongType()),
+    ]))),
+    T.StructField("postings", T.BinaryType()),
+])
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def segments(self) -> str: return os.path.join(self.root, "segments")
+    @property
+    def fragments(self) -> str: return os.path.join(self.root, "fragments")
+    @property
+    def doclens(self) -> str: return os.path.join(self.root, "doclens")
+    @property
+    def dictionary(self) -> str: return os.path.join(self.root, "dictionary")
+    @property
+    def stats(self) -> str: return os.path.join(self.root, "stats.json")
+    @property
+    def manifests(self) -> str: return os.path.join(self.root, "manifests")
+    @property
+    def metrics(self) -> str: return os.path.join(self.root, "metrics.jsonl")
+
+
+# ---------------------------------------------------------------------------
+# P1-P5: prepare pages
+# ---------------------------------------------------------------------------
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """lang filter, E(html) where text is null, empty guard, dedup-by-url
+    latest-warc_ts-wins (frozen §1.3.3). Returns (url, text)."""
+    from pyspark.sql.window import Window
+
+    @F.pandas_udf(T.StringType())
+    def extract_udf(html: pd.Series) -> pd.Series:
+        return extract_series(html)
+
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    df = (
+        pages
+        .filter(F.col("lang") == "en")                       # P2 → pushed to scan
+        .withColumn("rn", F.row_number().over(w))            # P4 dedup
+        .filter(F.col("rn") == 1)
+        .withColumn("text", F.when(F.col("text").isNull(),
+                                   extract_udf(F.col("html"))).otherwise(F.col("text")))  # P5
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))  # P3
+        .select("url", "text")                               # P1 → html pruned
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# T8: global lexicographic dense docID assignment (2-pass)
+# ---------------------------------------------------------------------------
+
+def assign_docids(spark: SparkSession, prepared: DataFrame, n_partitions: int) -> DataFrame:
+    """Deterministic dense docids = rank of url in global sort order.
+
+    Two passes over a range-partitioned, partition-sorted frame: pass 1
+    collects per-partition counts (tiny) to compute offsets; pass 2 adds
+    offset + local index inside mapInPandas. Correct for ANY range
+    boundary choice (ranges are disjoint and ordered), so it is
+    partition-count-independent — unlike monotonically_increasing_id.
+    The frame is persisted so both passes see the same materialization
+    (at production scale: checkpoint to object store instead).
+    """
+    rp = (
+        prepared.repartitionByRange(n_partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["pid"]: r["cnt"] for r in rp.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            off = b_offsets.value[int(pdf["pid"].iloc[0])]
+            pdf = pdf.assign(docid=np.arange(local, local + len(pdf), dtype=np.int64) + off)
+            local += len(pdf)
+            yield pdf[["docid", "url", "text"]]
+
+    return rp.mapInPandas(assign, schema="docid long, url string, text string")
+
+
+# ---------------------------------------------------------------------------
+# T1: tokenize → (docid, term, tf, dl)
+# ---------------------------------------------------------------------------
+
+def tokenize_docs(docs: DataFrame) -> DataFrame:
+    """mapInPandas; inside each Arrow batch everything is vectorized
+    pandas (findall → explode → C groupby) — no per-row Python on the
+    hot path (BASELINE.json:15). dl rides on every row so the posting
+    encoder never needs a docid join (codec.py docstring)."""
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = tokenize_series(pdf["text"])
+            ex = pd.DataFrame({"docid": pdf["docid"]}).assign(term=toks)
+            ex = ex.explode("term", ignore_index=True).dropna(subset=["term"])
+            if len(ex) == 0:
+                continue
+            tf = ex.groupby(["docid", "term"], sort=False).size().rename("tf").reset_index()
+            dl = tf.groupby("docid", sort=False)["tf"].transform("sum")
+            tf["dl"] = dl
+            yield tf[["docid", "term", "tf", "dl"]]
+
+    return docs.mapInPandas(tok, schema=TOKENS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# T6: fragment encoder (runs after the big (term,salt)-bucket shuffle)
+# ---------------------------------------------------------------------------
+
+def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str):
+    """mapInPandas fn over partitions sorted by (term, docid).
+
+    Encodes one blocked-VByte fragment per (term, salt) run — carrying
+    the trailing group across Arrow batch boundaries — and writes the
+    bucket's parquet file + manifest ITSELF (tmp + atomic rename), so a
+    completed bucket survives a mid-job kill: this is the per-partition
+    checkpoint unit of BASELINE.json's resumability requirement, unlike
+    a job-level parquet commit which discards everything on failure.
+    Yields a single summary row per bucket (S6 metrics)."""
+
+    class _BucketSink:
+        """One open parquet writer + manifest per bucket; a partition may
+        hold several buckets (hash(bucket)%n can collide), but rows are
+        sorted by bucket so at most one sink is open at a time."""
+
+        def __init__(self, bucket: int):
+            self.bucket = bucket
+            self.t0 = time.time()
+            self.rows_in = 0
+            self.postings = 0
+            self.frag_rows = 0
+            self.pending: list[dict] = []
+            self.writer: pq.ParquetWriter | None = None
+            self.dir = os.path.join(fragments_dir, f"bucket={bucket}")
+            self.tmp = os.path.join(self.dir, ".part-0.parquet.tmp")
+
+        def add(self, r: dict) -> None:
+            self.postings += r["n"]
+            self.pending.append(r)
+            if len(self.pending) >= 512:
+                self._write()
+
+        def _write(self) -> None:
+            if not self.pending:
+                return
+            if self.writer is None:
+                os.makedirs(self.dir, exist_ok=True)
+                self.writer = pq.ParquetWriter(self.tmp, FRAG_PA_SCHEMA, compression="zstd")
+            cols = {k: [r[k] for r in self.pending] for k in FRAG_PA_SCHEMA.names}
+            self.writer.write_table(pa.table(cols, schema=FRAG_PA_SCHEMA))
+            self.frag_rows += len(self.pending)
+            self.pending.clear()
+
+        def close(self) -> dict:
+            self._write()
+            if self.writer is not None:
+                self.writer.close()
+                os.replace(self.tmp, os.path.join(self.dir, "part-0.parquet"))
+            wall = time.time() - self.t0
+            man = {"bucket": self.bucket, "rows": self.rows_in,
+                   "postings": self.postings, "fragments": self.frag_rows,
+                   "tokens_per_sec": self.rows_in / wall if wall > 0 else None,
+                   "wall_s": wall}
+            tmp = os.path.join(manifests_dir, f".bucket-{self.bucket}.tmp")
+            dst = os.path.join(manifests_dir, f"bucket-{self.bucket}.json")
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, dst)  # atomic rename: idempotent under task retry
+            return man
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        sink: _BucketSink | None = None
+        summaries: list[dict] = []
+
+        def flush_group(g: pd.DataFrame) -> None:
+            nonlocal sink
+            b = int(g["bucket"].iloc[0])
+            if sink is None or sink.bucket != b:
+                if sink is not None:
+                    summaries.append(sink.close())
+                sink = _BucketSink(b)
+            docids = g["docid"].to_numpy(np.int64)
+            tfs = g["tf"].to_numpy(np.int64)
+            dls = g["dl"].to_numpy(np.int64)
+            payload, blocks = encode_blocks(docids, tfs, dls, avgdl, BLOCK_SIZE)
+            sink.rows_in += len(g)
+            sink.add({
+                "term": g["term"].iloc[0],
+                "salt": int(g["salt"].iloc[0]),
+                "is_head": bool(g["is_head"].iloc[0]),
+                "n": int(docids.size),
+                "cf": int(tfs.sum()),
+                "blocks": [{"last_docid": b0[0], "max_partial": b0[1], "offset": b0[2]} for b0 in blocks],
+                "postings": payload,
+            })
+
+        def consume(pdf: pd.DataFrame, final: bool) -> None:
+            nonlocal carry
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True) if len(pdf) else carry
+                carry = None
+            if len(pdf) == 0:
+                return
+            keys = pdf["term"].astype(str) + "\x00" + pdf["salt"].astype(str)
+            if not final:
+                holdmask = (keys == keys.iloc[-1]).to_numpy()
+                carry = pdf[holdmask]
+                pdf, keys = pdf[~holdmask], keys[~holdmask]
+                if len(pdf) == 0:
+                    return
+            for _, g in pdf.groupby(keys, sort=False):
+                flush_group(g)
+
+        for pdf in batches:
+            consume(pdf, final=False)
+        consume(pd.DataFrame(), final=True)
+        if sink is not None:
+            summaries.append(sink.close())
+        if summaries:
+            yield pd.DataFrame(summaries)[["bucket", "rows", "postings", "wall_s"]]
+
+    return encode
+
+
+# ---------------------------------------------------------------------------
+# T7: merge fragments → final segments (chunked)
+# ---------------------------------------------------------------------------
+
+def _make_merger(avgdl: float, max_postings_per_row: int):
+    def merge(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        term = key[0]
+        if len(g) == 1 and g["n"].iloc[0] <= max_postings_per_row:
+            r = g.iloc[0]
+            return pd.DataFrame([{
+                "term": term, "df": int(r["n"]), "cf": int(r["cf"]),
+                "chunk": 0, "n": int(r["n"]), "blocks": r["blocks"],
+                "postings": r["postings"],
+            }])
+        # k-way merge: fragments are docid-range-disjoint (range salting)
+        g = g.sort_values("salt")
+        parts = [decode_all_blocks(p, [b["offset"] for b in blocks])
+                 for p, blocks in zip(g["postings"], g["blocks"])]
+        docids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        order = np.argsort(docids, kind="stable")
+        docids, tfs, dls = docids[order], tfs[order], dls[order]
+        df_total, cf_total = int(docids.size), int(tfs.sum())
+        rows = []
+        for ci, s in enumerate(range(0, df_total, max_postings_per_row)):
+            e = min(s + max_postings_per_row, df_total)
+            payload, blocks = encode_blocks(docids[s:e], tfs[s:e], dls[s:e], avgdl, BLOCK_SIZE)
+            rows.append({
+                "term": term, "df": df_total, "cf": cf_total, "chunk": ci,
+                "n": e - s,
+                "blocks": [{"last_docid": b[0], "max_partial": b[1], "offset": b[2]} for b in blocks],
+                "postings": payload,
+            })
+        return pd.DataFrame(rows)
+
+    return merge
+
+
+# ---------------------------------------------------------------------------
+# build_index: the orchestrator
+# ---------------------------------------------------------------------------
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    n_partitions: int | None = None,
+    n_buckets: int | None = None,
+    salts: int = SALTS,
+    head_df_quantile: float = HEAD_DF_QUANTILE,
+    max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
+    resume: bool = False,
+) -> dict:
+    """Run the full build; returns the stats dict (also written to
+    stats.json). ``resume=True`` recomputes only fragment buckets whose
+    manifest is missing and skips completed stages."""
+    paths = IndexPaths(out_dir)
+    os.makedirs(paths.manifests, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    n_partitions = n_partitions or max(cpus, 8)
+    n_buckets = n_buckets or n_partitions
+    metrics: list[dict] = []
+    t_build0 = time.time()
+
+    def stage(name: str, t0: float, **kw) -> None:
+        metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
+
+    if resume and os.path.exists(paths.stats) and _dir_complete(paths.segments):
+        with open(paths.stats) as f:
+            return json.load(f)
+
+    # --- P1-P5 + T8 ---
+    t0 = time.time()
+    prepared = prepare_pages(pages)
+    docs = assign_docids(spark, prepared, n_partitions)
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = docs.count()
+    stage("prepare+docids", t0, n_docs=n_docs)
+
+    # --- T1 tokenize (persisted: feeds doclens, dictionary, fragments) ---
+    t0 = time.time()
+    tokens = tokenize_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- T2/T4 doclens + corpus stats ---
+    doclens = tokens.groupBy("docid").agg(F.max("dl").alias("dl"))
+    agg = doclens.agg(F.count("*").alias("n"), F.sum("dl").alias("sumdl")).collect()[0]
+    n_with_tokens, sumdl = agg["n"] or 0, agg["sumdl"] or 0
+    avgdl = float(sumdl) / n_with_tokens if n_with_tokens else 0.0
+    (doclens.join(docs.select("docid", "url"), "docid")
+        .write.mode("overwrite").parquet(paths.doclens))
+    stage("doclens+stats", t0, n=n_with_tokens, avgdl=avgdl)
+
+    # --- T3 dictionary + T5 head-term detection ---
+    t0 = time.time()
+    dictionary = tokens.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    dictionary.write.mode("overwrite").parquet(paths.dictionary)
+    dict_df = spark.read.parquet(paths.dictionary)
+    agg2 = dict_df.agg(F.percentile_approx("df", head_df_quantile).alias("t"),
+                       F.count("*").alias("n_terms")).collect()[0]
+    n_terms = agg2["n_terms"]
+    head_thr = max(int(agg2["t"] or 0), 2 * BLOCK_SIZE)
+    head_terms = [r["term"] for r in dict_df.filter(F.col("df") > head_thr).select("term").collect()]
+    stage("dictionary", t0, n_terms=n_terms, head_thr=head_thr, n_head=len(head_terms))
+
+    # --- T5 salt + bucket ---
+    head_df = spark.createDataFrame(
+        [(t, True) for t in head_terms] or [], schema="term string, is_head boolean")
+    salted = (
+        tokens.join(F.broadcast(head_df), "term", "left")
+        .withColumn("is_head", F.coalesce("is_head", F.lit(False)))
+        .withColumn(
+            "salt",
+            F.when(F.col("is_head"),
+                   F.least(F.lit(salts - 1),
+                           F.floor(F.col("docid") * salts / F.lit(max(n_docs, 1))))
+                   .cast("int"))
+            .otherwise(F.lit(0)))
+        .withColumn("bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(n_buckets)).cast("int"))
+    )
+
+    # --- resume filter: only buckets without a manifest ---
+    done = _done_buckets(paths.manifests) if resume else set()
+    if not resume:
+        import shutil
+        shutil.rmtree(paths.fragments, ignore_errors=True)
+        shutil.rmtree(paths.manifests, ignore_errors=True)
+        os.makedirs(paths.manifests, exist_ok=True)
+    if done:
+        salted = salted.filter(~F.col("bucket").isin(sorted(done)))
+
+    # --- the big shuffle + T6 encode + S3/S5 per-bucket checkpoint sink ---
+    t0 = time.time()
+    if len(done) < n_buckets:
+        summary = (
+            salted.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("bucket", "term", "docid")
+            .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests),
+                         schema=FRAGMENT_SUMMARY_SCHEMA)
+        ).collect()  # tiny: one row per bucket; forces execution
+    else:
+        summary = []
+    stage("fragments", t0, n_buckets=n_buckets, resumed_buckets=len(done),
+          built_buckets=len(summary))
+
+    # --- T7 merge → segments ---
+    t0 = time.time()
+    frags = spark.read.parquet(paths.fragments)
+    tail = (
+        frags.filter(~F.col("is_head") & (F.col("n") <= max_postings_per_row))
+        .select(F.col("term"), F.col("n").alias("df"), F.col("cf"),
+                F.lit(0).alias("chunk"), F.col("n"), F.col("blocks"), F.col("postings"))
+    )
+    head = (
+        frags.filter(F.col("is_head") | (F.col("n") > max_postings_per_row))
+        .groupBy("term").applyInPandas(_make_merger(avgdl, max_postings_per_row), SEGMENT_SCHEMA)
+    )
+    tail.unionByName(head).write.mode("overwrite").parquet(paths.segments)
+    stage("merge+segments", t0)
+
+    # --- S4/S6 stats + metrics ---
+    stats = {
+        "N": n_with_tokens,
+        "avgdl": avgdl,
+        "n_terms": n_terms,
+        "build_config": {
+            "n_partitions": n_partitions, "n_buckets": n_buckets,
+            "salts": salts, "head_thr": head_thr,
+            "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
+        },
+        "wall_s": time.time() - t_build0,
+    }
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    with open(paths.metrics, "a") as f:
+        for m in metrics:
+            f.write(json.dumps(m) + "\n")
+    tokens.unpersist()
+    docs.unpersist()
+    return stats
+
+
+def _dir_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _done_buckets(manifests_dir: str) -> set[int]:
+    out = set()
+    if not os.path.isdir(manifests_dir):
+        return out
+    for name in os.listdir(manifests_dir):
+        if name.startswith("bucket-") and name.endswith(".json"):
+            out.add(int(name[len("bucket-"):-len(".json")]))
+    return out

@@ -1,0 +1,261 @@
+"""Query-time BM25 top-k retrieval (SURVEY.md §2.10, §3.2).
+
+Two execution paths over the same segment artifacts, plus a pure-
+DataFrame brute-force scorer; all three are rank- AND bit-identical
+(3-way equivalence test, SURVEY §5):
+
+Q1→Q4 ``search_taat``  — distributed term-at-a-time. Segment rows for
+  the query terms (parquet scan with ``term IN`` pushdown → row-group
+  skip) are decoded in ``mapInPandas`` (numpy), producing per-posting
+  contributions idf·partial; per-(query,doc) scores are then summed
+  with ``aggregate(sort_array(collect_list(struct(term,contrib))))`` —
+  a fold in sorted term order, which pins the FP addition order to the
+  frozen contract (§1.3.4) no matter how Spark shuffles. Scales to any
+  corpus: the shuffle is bounded by the postings of the query terms.
+
+Q1→Q5 ``search_wand`` — per-query block-max pruning. Each query's
+  term rows are gathered with ``applyInPandas`` and scored document-
+  at-a-time over the block-max metadata: the docid space is cut into
+  elementary intervals at block boundaries, each interval's upper
+  bound is Σ_t idf_t·max_partial(block_t covering it), intervals are
+  processed in descending-bound order, and processing stops when the
+  bound falls below the current top-k threshold — whole blocks are
+  never decoded (Broder'03 WAND / Ding & Suel'11 block-max, re-shaped
+  interval-at-a-time so the inner loop is numpy, not per-doc Python).
+  Exact top-k: stop condition is strict (<), ties keep flowing.
+
+Q7 ``brute_force_scorer_sql`` — the SQL-expressible twin used by the
+  harness (DuckDB oracle): explode-tokenize → term stats → fold.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import decode_block
+from ..config import TOP_K
+from ..scoring import idf as _idf
+from ..textops import tokenize_series
+from .build import IndexPaths
+
+RESULT_SCHEMA = "query_id long, rank int, docid long, score double"
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(IndexPaths(index_dir).stats) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Q1: query analysis (same frozen tokenizer as the build)
+# ---------------------------------------------------------------------------
+
+def analyze_queries(queries: DataFrame) -> DataFrame:
+    """(query_id, qtext) -> distinct (query_id, term)."""
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ex = pd.DataFrame({"query_id": pdf["query_id"],
+                               "term": tokenize_series(pdf["qtext"])})
+            ex = ex.explode("term").dropna(subset=["term"]).drop_duplicates()
+            yield ex
+
+    return queries.mapInPandas(tok, schema="query_id long, term string")
+
+
+# ---------------------------------------------------------------------------
+# Q3: candidate segment rows with term pushdown
+# ---------------------------------------------------------------------------
+
+def candidate_segments(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
+    """Parquet scan of segments restricted to the query terms — the
+    ``isin`` predicate reaches the scan (PushedFilters) and skips row
+    groups via min/max + dictionary stats."""
+    seg = spark.read.parquet(IndexPaths(index_dir).segments)
+    return seg.filter(F.col("term").isin(terms))
+
+
+def _collect_terms(qterms: DataFrame) -> list[str]:
+    return [r["term"] for r in qterms.select("term").distinct().collect()]
+
+
+# ---------------------------------------------------------------------------
+# Q4: distributed TAAT scoring with exact fold order
+# ---------------------------------------------------------------------------
+
+def search_taat(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Distributed top-k. Returns (query_id, rank, docid, score)."""
+    from pyspark.sql.window import Window
+
+    stats = load_stats(index_dir)
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    qterms = analyze_queries(queries)
+    terms = _collect_terms(qterms)
+    if not terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    seg = candidate_segments(spark, index_dir, terms)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..scoring import partial as _partial
+        for pdf in batches:
+            for _, row in pdf.iterrows():  # few rows: one per (term, chunk)
+                payload = row["postings"]
+                offs = [b["offset"] for b in row["blocks"]]
+                ds, ts, ls = [], [], []
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                for off in offs:
+                    d, t, l = decode_block(buf, int(off))
+                    ds.append(d); ts.append(t); ls.append(l)
+                if not ds:
+                    continue
+                docids = np.concatenate(ds)
+                w = _idf(float(row["df"]), n_docs)
+                contrib = w * _partial(np.concatenate(ts), np.concatenate(ls), avgdl)
+                yield pd.DataFrame({"term": row["term"], "docid": docids,
+                                    "contrib": contrib})
+
+    decoded = seg.select("term", "df", "blocks", "postings").mapInPandas(
+        decode, schema="term string, docid long, contrib double")
+
+    scored = (
+        decoded.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "docid")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+        .withColumn("score", F.aggregate(
+            "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
+        .drop("cs")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: block-max WAND (per-query, interval-at-a-time, exact)
+# ---------------------------------------------------------------------------
+
+def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int) -> pd.DataFrame:
+    from ..scoring import partial as _partial
+
+    qid = int(g["query_id"].iloc[0])
+    # term-level structures; chunks of the same term behave as extra blocks
+    term_rows: dict[str, list] = {}
+    for _, row in g.iterrows():
+        term_rows.setdefault(row["term"], []).append(row)
+    terms = sorted(term_rows)  # frozen summation order §1.3.4
+
+    # block table: (start, end, ub, term_idx, payload_ref, offset)
+    blocks = []
+    idfs = {}
+    for ti, t in enumerate(terms):
+        rows = sorted(term_rows[t], key=lambda r: int(r["chunk"]))
+        idfs[t] = _idf(float(rows[0]["df"]), n_docs)
+        prev_last = -1
+        for row in rows:
+            buf = np.frombuffer(row["postings"], dtype=np.uint8)
+            for b in row["blocks"]:
+                blocks.append((prev_last + 1, int(b["last_docid"]),
+                               idfs[t] * float(b["max_partial"]), ti, buf, int(b["offset"])))
+                prev_last = int(b["last_docid"])
+
+    # elementary intervals at all block ends
+    ends = np.unique(np.array([b[1] for b in blocks], dtype=np.int64))
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # upper bound per interval = sum of covering block bounds
+    n_iv = ends.size
+    ubs = np.zeros(n_iv, dtype=np.float64)
+    cover: list[list[int]] = [[] for _ in range(n_iv)]
+    for bi, (s, e, ub, ti, buf, off) in enumerate(blocks):
+        lo = np.searchsorted(ends, s, side="left")
+        hi = np.searchsorted(ends, e, side="left")
+        ubs[lo:hi + 1] += ub
+        for iv in range(lo, hi + 1):
+            cover[iv].append(bi)
+
+    order = np.argsort(-ubs, kind="stable")
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of top-k
+    theta = -np.inf
+    decoded_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    for iv in order:
+        if len(heap) >= k and ubs[iv] < theta:
+            break  # every remaining interval is strictly below the kth score
+        lo_d, hi_d = int(starts[iv]), int(ends[iv])
+        # gather contributions per term in sorted-term order
+        per_term: list[tuple[np.ndarray, np.ndarray]] = []
+        for bi in sorted(cover[iv], key=lambda b: blocks[b][3]):
+            s, e, ub, ti, buf, off = blocks[bi]
+            if bi not in decoded_cache:
+                d, t, l = decode_block(buf, off)
+                decoded_cache[bi] = (d, idfs[terms[ti]] * _partial(t, l, avgdl))
+            d, c = decoded_cache[bi]
+            sel = (d >= lo_d) & (d <= hi_d)
+            if sel.any():
+                per_term.append((d[sel], c[sel]))
+        if not per_term:
+            continue
+        alld = np.concatenate([p[0] for p in per_term])
+        allc = np.concatenate([p[1] for p in per_term])
+        uniq, inv = np.unique(alld, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, allc)  # adds in array order = sorted term order
+        for d, sc in zip(uniq.tolist(), scores.tolist()):
+            item = (sc, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+                theta = heap[0][0]
+
+    ranked = sorted(((sc, -nd) for sc, nd in heap), key=lambda x: (-x[0], x[1]))
+    return pd.DataFrame({
+        "query_id": qid,
+        "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
+        "docid": np.array([d for _, d in ranked], dtype=np.int64),
+        "score": np.array([s for s, _ in ranked], dtype=np.float64),
+    })
+
+
+def search_wand(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Per-query exact top-k with block-max pruning; one applyInPandas
+    group per query (ES-style shard fan-in happens inside the group —
+    the gathered rows are already per-term encoded bytes, tiny relative
+    to the corpus)."""
+    stats = load_stats(index_dir)
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    qterms = analyze_queries(queries)
+    terms = _collect_terms(qterms)
+    if not terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    seg = candidate_segments(spark, index_dir, terms)
+    seg_q = seg.join(F.broadcast(qterms), "term")
+
+    def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        return _wand_one_query(g, n_docs, avgdl, k)
+
+    return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
