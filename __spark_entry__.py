@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship fulltext query — builds the SPIMI
+  inverted index over /root/testdata/sf0.001 documents (mapped to the
+  Common-Crawl pages shape) and runs block-max-WAND BM25 top-10.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented ★
+  operator from SURVEY.md §2 (and the training-data-pipeline ops),
+  compared by the driver against DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
@@ -16,23 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from aarhus_spark.harness import q_bm25_topk_engine
+    return q_bm25_topk_engine(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from aarhus_spark.harness import QUERIES
+    from aarhus_spark.harness_data import QUERIES2
+    return {**QUERIES, **QUERIES2}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins. Keys absent here (postings_codec_check) are
+    non-SQL-expressible binary-codec ops → rows-only check."""
+    from aarhus_spark.harness import ORACLES
+    from aarhus_spark.harness_data import ORACLES2
+    return {**ORACLES, **ORACLES2}

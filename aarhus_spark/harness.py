@@ -1,0 +1,621 @@
+"""Harness entries: queries() + oracle_sql() pairs (SURVEY.md §3.3, §5).
+
+Every ★ operator in SURVEY §2 gets a named entry here: a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` and a DuckDB ANSI-SQL twin
+executed by the driver on the same parquet tables. Conventions that
+make the driver's order-insensitive value-hash comparison exact:
+
+- every float column is ``round(x, N)``-ed IN BOTH engines and aliased
+  identically (FP summation order differs between engines);
+- ranks/row_numbers are computed over the ROUNDED value with a
+  deterministic key tiebreak in both engines;
+- timestamps are formatted to strings (engine-internal tz/units differ);
+- DuckDB ``sum()`` over integers is cast to BIGINT/DOUBLE explicitly
+  (DuckDB widens to HUGEINT, which would break the schema match);
+- cross-engine hashing uses md5 (the only hash both engines share):
+  ``H(s) = first 15 hex chars of md5(s) as int`` — 60 bits, sign-safe.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import B, K1
+from .sources.io import pages_from_documents, read_table
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# the flagship fulltext query set (terms drawn from the documents vocab)
+FLAGSHIP_QUERIES = [
+    (0, "spark data query"),
+    (1, "the merge window"),
+    (2, "hash join table scan"),
+]
+
+TOKEN_SQL_RE = "[a-z0-9]+"
+
+# portable 60-bit hash: identical value in Spark and DuckDB
+def _hash_spark(col: str) -> str:
+    return f"CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+def _hash_duck(col: str) -> str:
+    return f"CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _reg(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# flagship: the full engine (build → segments → WAND search), oracle-checked
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the inverted index over the
+    documents table mapped to the pages shape."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    from .operators.build import build_index
+    out = os.path.join(tempfile.gettempdir(),
+                       "aarhus_idx_" + sf_dir.strip("/").replace("/", "_"))
+    from .operators.build import IndexPaths
+    if not (os.path.exists(IndexPaths(out).stats)
+            and os.path.exists(os.path.join(IndexPaths(out).segments, "_SUCCESS"))):
+        pages = pages_from_documents(spark, sf_dir)
+        build_index(spark, pages, out)
+    _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+def q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 S1-S5, T1-T8, Q1-Q6: the complete engine, end to end.
+    Results re-ranked by rounded score so the DuckDB twin (which sums
+    FP in its own order) ranks identically."""
+    from .operators.search import search_wand
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    res = search_wand(spark, idx, qdf, k=20)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("docid"))
+    return (
+        res.withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "docid", "score_r")
+    )
+
+
+def _bm25_oracle_sql(k: int = 10) -> str:
+    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in FLAGSHIP_QUERIES)
+    return f"""
+WITH pages AS (
+  SELECT concat('https://testdata.local/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
+         text, lang FROM documents
+), en AS (
+  SELECT url, text FROM pages WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 0
+), ids AS (
+  SELECT row_number() OVER (ORDER BY url) - 1 AS docid, text FROM en
+), tok AS (
+  SELECT docid, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term FROM ids
+), tok2 AS (
+  SELECT docid, term FROM tok WHERE length(term) <= 64
+), tf AS (
+  SELECT docid, term, CAST(count(*) AS BIGINT) AS tf FROM tok2 GROUP BY docid, term
+), dl AS (
+  SELECT docid, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY docid
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(dl * 1.0) AS avgdl FROM dl
+), dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), qraw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+  FROM (VALUES {vals}) AS q(query_id, qtext)
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '{TOKEN_SQL_RE}')) AS term
+    FROM qraw) z WHERE length(term) <= 64
+), scored AS (
+  SELECT q.query_id, tf.docid,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfs d USING (term)
+  JOIN dl USING (docid)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.docid
+), ranked AS (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# Q7: the brute-force DataFrame/SQL scorer — same math, no index, doc_id keys.
+_BRUTE_SPARK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, tcol AS term
+  FROM documents LATERAL VIEW explode(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}', 0)) t AS tcol
+  WHERE lang = 'en' AND length(tcol) <= 64
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl
+), dfs AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON tf.term = d.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'data', 'query')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r,
+       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY rank LIMIT 10
+"""
+
+_BRUTE_DUCK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+    FROM documents WHERE lang = 'en') z
+  WHERE length(term) <= 64
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(dl * 1.0) AS avgdl FROM dl
+), dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN dfs d ON tf.term = d.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'data', 'query')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r,
+       CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY rank LIMIT 10
+"""
+
+
+def q_bm25_brute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 Q7: brute-force pure-SQL BM25 (explode → join → agg →
+    window) — the SQL-expressible scorer twin."""
+    _reg(spark, sf_dir, "documents")
+    return spark.sql(_BRUTE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / dedup (S1, P1-P4, J5, W1)
+# ---------------------------------------------------------------------------
+
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1+P2+P3: projection & predicates pushed to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 100))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_SCAN_PROJECT_FILTER = """
+SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' AND n_chars > 100
+"""
+
+
+def q_dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J5/W1: latest-wins dedup via row_number window (the url-dedup
+    idiom of the ingest, on the events table)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+    )
+
+
+SQL_DEDUP_LATEST_BY_KEY = """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) z
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins (J1, J2, J3, J4, J7)
+# ---------------------------------------------------------------------------
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast hash join — small dim (customer) explicitly hinted."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: large-large equi join (lineitem ⋈ orders) → SMJ/SHJ by Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+SQL_JOIN_SORTMERGE = """
+SELECT o_orderstatus,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left semi — customers that have at least one 'F' order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_JOIN_LEFT_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left anti — the resume/delta idiom (rows not yet processed)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+SQL_JOIN_LEFT_ANTI = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: theta join (non-equi) — nation pairs within the same region."""
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(n2, (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+                & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")))
+        .select(F.col("n1.n_name").alias("nation_a"),
+                F.col("n2.n_name").alias("nation_b"))
+    )
+
+
+SQL_JOIN_THETA = """
+SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+FROM nation n1 JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A1, A2, A4, A5)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: hash agg with partial/final (the TPC-H Q1 shape)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact distinct counts."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status
+FROM lineitem
+"""
+
+
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact percentiles (the df-distribution / skew-threshold idiom)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"))
+    )
+
+
+SQL_AGG_QUANTILES = """
+SELECT o_orderpriority,
+       round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 4) AS p95
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: cube with margins (index-stats-report idiom)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                F.coalesce("source", F.lit("ALL")).alias("source"),
+                "n_docs", "avg_chars")
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows (W2, W3, W4, W5) and sorts/top-k (O2, O3)
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O3: top-3 orders per customer by totalprice."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, rnk, o_orderkey, round(o_totalprice, 2) AS price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders) z
+WHERE rnk <= 3
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: frame-spec running sum (posting-block byte-offset idiom)."""
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey",
+                F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+    )
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: ntile deciles of order value (df-distribution report idiom)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"),
+             F.round(F.max("o_totalprice"), 2).alias("max_price"))
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT decile, CAST(count(*) AS BIGINT) AS n, round(max(o_totalprice), 2) AS max_price
+FROM (SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+      FROM orders) z
+GROUP BY decile
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: lag/lead — inter-event gap per user (delta-gap sanity idiom)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_s", F.col("ts").cast("timestamp").cast("long")
+                    - F.col("prev_ts").cast("timestamp").cast("long"))
+        .groupBy("user_id")
+        .agg(F.count("gap_s").alias("n_gaps"),
+             F.round(F.avg("gap_s"), 4).alias("avg_gap_s"))
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT user_id, CAST(count(gap_s) AS BIGINT) AS n_gaps, round(avg(gap_s), 4) AS avg_gap_s
+FROM (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+      FROM events) z
+GROUP BY user_id
+"""
+
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: global orderBy + limit → TakeOrderedAndProject."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+        .select("l_orderkey", "l_linenumber",
+                F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+SQL_TOPK_GLOBAL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations (U1, U2, U3)
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2+U3 in one result: nations of customers vs suppliers."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    u = cust_n.union(supp_n).distinct().withColumn("op", F.lit("union"))
+    i = cust_n.intersect(supp_n).withColumn("op", F.lit("intersect"))
+    e = cust_n.exceptAll(supp_n).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e).select("op", "nk")
+
+
+SQL_SET_OPS = """
+SELECT 'union' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer UNION SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry (part 1 — fulltext core + relational operators)
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, callable] = {
+    "bm25_topk_engine": q_bm25_topk_engine,
+    "bm25_brute_sql": q_bm25_brute_sql,
+    "scan_project_filter": q_scan_project_filter,
+    "dedup_latest_by_key": q_dedup_latest_by_key,
+    "join_broadcast": q_join_broadcast,
+    "join_sortmerge": q_join_sortmerge,
+    "join_left_semi": q_join_left_semi,
+    "join_left_anti": q_join_left_anti,
+    "join_theta": q_join_theta,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "agg_distinct": q_agg_distinct,
+    "agg_quantiles": q_agg_quantiles,
+    "agg_cube": q_agg_cube,
+    "window_rank": q_window_rank,
+    "window_running_sum": q_window_running_sum,
+    "window_ntile": q_window_ntile,
+    "window_lag": q_window_lag,
+    "topk_global": q_topk_global,
+    "set_ops": q_set_ops,
+}
+
+ORACLES: dict[str, str] = {
+    "bm25_topk_engine": _bm25_oracle_sql(),
+    "bm25_brute_sql": _BRUTE_DUCK_SQL,
+    "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
+    "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
+    "join_broadcast": SQL_JOIN_BROADCAST,
+    "join_sortmerge": SQL_JOIN_SORTMERGE,
+    "join_left_semi": SQL_JOIN_LEFT_SEMI,
+    "join_left_anti": SQL_JOIN_LEFT_ANTI,
+    "join_theta": SQL_JOIN_THETA,
+    "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+    "agg_distinct": SQL_AGG_DISTINCT,
+    "agg_quantiles": SQL_AGG_QUANTILES,
+    "agg_cube": SQL_AGG_CUBE,
+    "window_rank": SQL_WINDOW_RANK,
+    "window_running_sum": SQL_WINDOW_RUNNING_SUM,
+    "window_ntile": SQL_WINDOW_NTILE,
+    "window_lag": SQL_WINDOW_LAG,
+    "topk_global": SQL_TOPK_GLOBAL,
+    "set_ops": SQL_SET_OPS,
+}

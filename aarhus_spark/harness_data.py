@@ -1,0 +1,613 @@
+"""Harness entries, part 2: training-data pipeline operators
+(dedup / similarity / text analysis / multimodal / windowed events)
+plus the scalar-function families (SURVEY §2.9). Same conventions as
+harness.py (rounded floats, BIGINT casts, string timestamps, portable
+md5 hashing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .harness import _hash_duck as HD
+from .harness import _reg, _t
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textstats as TS
+from .operators.multimodal import documents_as_media, media_metadata
+from .streaming import windows as W
+
+# ---------------------------------------------------------------------------
+# shared: augmented documents with planted near/exact duplicates
+# (deterministic, built identically in Spark and in the DuckDB twins —
+# the raw corpus has no duplicates, so dedup operators need planted ones)
+# ---------------------------------------------------------------------------
+
+AUG_SQL_DUCK = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, concat(text, ' qq0 qq1 qq2') FROM documents WHERE doc_id < 15
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10
+"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (docs.filter(F.col("doc_id") < 15)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat("text", F.lit(" qq0 qq1 qq2")).alias("text")))
+    exact = (docs.filter(F.col("doc_id") < 10)
+             .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    return docs.unionByName(near).unionByName(exact)
+
+
+# DuckDB shingle CTE fragment (3-gram, distinct), over a `base(doc_id, text)` CTE
+_SH_DUCK = """
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM base
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+      list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END) AS sh
+    FROM tk) z
+)
+"""
+
+_JACCARD_TAIL_DUCK = """
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, round(i.ni * 1.0 / (sa.ns + sb.ns - i.ni), 6) AS jaccard_r
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.ni * 1.0 / (sa.ns + sb.ns - i.ni) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_aug_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH base AS ({AUG_SQL_DUCK}),
+g AS (SELECT md5(text) AS k, min(doc_id) AS keep_id, count(*) AS cnt
+      FROM base GROUP BY md5(text) HAVING count(*) > 1)
+SELECT b.doc_id, g.keep_id
+FROM base b JOIN g ON md5(b.text) = g.k
+WHERE b.doc_id != g.keep_id
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(_aug_docs(spark, sf_dir))
+
+
+def _minhash_duck() -> str:
+    min_parts = []
+    for i in range(8):
+        salted = "concat('" + str(i) + ":', sh)"
+        min_parts.append(f"min({HD(salted)}) AS m{i}")
+    mins = ",\n    ".join(min_parts)
+    band_parts = []
+    for b in range(4):
+        band_expr = (f"(CAST(m{2*b} AS VARCHAR) || ',' || "
+                     f"CAST(m{2*b+1} AS VARCHAR))")
+        band_parts.append(
+            f"SELECT doc_id, {b} AS band, {HD(band_expr)} AS bh FROM sig")
+    bands = "\n  UNION ALL ".join(band_parts)
+    return f"""
+WITH base AS ({AUG_SQL_DUCK}),
+{_SH_DUCK}
+, sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+{_JACCARD_TAIL_DUCK}
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_aug_docs(spark, sf_dir))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH base AS ({AUG_SQL_DUCK}),
+{_SH_DUCK}
+, rare AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY sh) z WHERE f <= 20
+), shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM shr x JOIN shr y ON x.sh = y.sh AND x.doc_id < y.doc_id
+)
+{_JACCARD_TAIL_DUCK}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _simhash_duck(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits))
+    val = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) z
+), h AS (SELECT doc_id, {HD('term')} AS hv FROM tok
+), agg AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), max_vec_id=300)
+
+
+_COS_DUCK = ("round(list_dot_product(CAST(a.{ea} AS DOUBLE[]), CAST(b.{eb} AS DOUBLE[]))"
+             " / (sqrt(list_dot_product(CAST(a.{ea} AS DOUBLE[]), CAST(a.{ea} AS DOUBLE[])))"
+             " * sqrt(list_dot_product(CAST(b.{eb} AS DOUBLE[]), CAST(b.{eb} AS DOUBLE[])))), 6)")
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         {_COS_DUCK.format(ea='embedding', eb='embedding')} AS cos_r
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY cos_r DESC, va, vb) AS BIGINT) AS rank, va, vb, cos_r
+  FROM p
+)
+SELECT rank, va, vb, cos_r FROM r WHERE rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=10)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+p AS (
+  SELECT q.qid, a.vec_id,
+         {_COS_DUCK.format(ea='embedding', eb='qv').replace('b.qv', 'q.qv')} AS cos_r
+  FROM embeddings a CROSS JOIN q WHERE a.vec_id != q.qid
+), r AS (
+  SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank,
+         vec_id, cos_r
+  FROM p
+)
+SELECT qid, rank, vec_id, cos_r FROM r WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk_lsh(_t(spark, sf_dir, "embeddings"), [0, 1, 2], [0, 1, 2, 3], k=10)
+
+
+SQL_ANN_LSH_BUCKET = f"""
+WITH anchors AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id IN (0,1,2,3)),
+bits AS (
+  SELECT a.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(x.av AS DOUBLE[])) > 0
+                  THEN CAST(pow(2, x.aid % 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings a CROSS JOIN anchors x GROUP BY a.vec_id
+), b AS (
+  SELECT e.vec_id, e.embedding, bits.bucket FROM embeddings e JOIN bits ON e.vec_id = bits.vec_id
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket AS qb FROM b WHERE vec_id IN (0, 1, 2)
+), cand AS (
+  SELECT q.qid, a.vec_id,
+         {_COS_DUCK.format(ea='embedding', eb='qv').replace('b.qv', 'q.qv')} AS cos_r
+  FROM b a JOIN q ON a.bucket = q.qb WHERE a.vec_id != q.qid
+), r AS (
+  SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank,
+         vec_id, cos_r
+  FROM cand
+)
+SELECT qid, rank, vec_id, cos_r FROM r WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.language_id(_t(spark, sf_dir, "documents"))
+
+
+_STOPS = ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS)
+
+SQL_TEXT_LANGID = f"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         len(list_filter(toks, t -> t IN ({_STOPS}))) AS n_stop
+  FROM tk
+)
+SELECT doc_id,
+       round(CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok ELSE 0.0 END, 6) AS stop_ratio_r,
+       CASE WHEN (CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok ELSE 0.0 END) > 0.04
+            THEN 'en' ELSE 'other' END AS predicted
+FROM s
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         len(list_filter(toks, t -> t IN ({_STOPS}))) AS n_stop,
+         len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS n_digit
+  FROM tk
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       round(least(1.0, n_tok / 200.0) * 0.5 + (n_stop * 1.0 / n_tok) * 0.3
+             + (1 - n_digit * 1.0 / n_tok) * 0.2, 6) AS quality_r
+FROM s WHERE n_tok > 0
+"""
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.token_counts(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_regex,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH tk AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+s AS (
+  SELECT doc_id, text,
+         CASE WHEN len(toks) >= 5 THEN
+           list_transform(generate_series(1, len(toks) - 4),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+         ELSE [text] END AS shs
+  FROM tk
+)
+SELECT doc_id,
+       list_min(list_transform(shs, s2 -> {HD('s2')})) AS fp_min,
+       {HD('substr(text, 1, 64)')} AS fp_prefix
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payload metadata via mapInPandas)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media_metadata(media)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, sha256(text) AS sha256,
+       'text/plain' AS kind
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed events (X1-X3 batch analogs; streaming twins in streaming/)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_SLIDING = """
+WITH ev AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS tb, event_type FROM events),
+wins AS (
+  SELECT tb - (j * INTERVAL '15 minutes') AS win_start, event_type
+  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM wins GROUP BY 1, 2
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_counts(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_SESSION = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS sess_end,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar function families (F1-F8)
+# ---------------------------------------------------------------------------
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("trimmed"),
+    )
+
+
+SQL_SCALAR_STRING = """
+SELECT p_partkey, lower(p_name) AS lname, substring(p_type, 1, 5) AS type5,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type, trim(p_name) AS trimmed
+FROM part
+"""
+
+
+def q_scalar_url_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", F.concat(F.lit("https://"), "source",
+                                    F.lit(".example/d/"), F.col("doc_id").cast("string")))
+        .withColumn("host", F.regexp_extract("url", "https?://([^/]+)/", 1))
+        .groupBy("host").agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_SCALAR_URL_HOST = """
+SELECT regexp_extract('https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR),
+                      'https?://([^/]+)/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .withColumn("hr", F.hour("ts").cast("long"))
+        .groupBy("day", "hr").agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SCALAR_DATETIME = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(extract('hour' FROM ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("bucket7", F.pmod("l_orderkey", F.lit(7)).cast("long"))
+        .groupBy("bucket7")
+        .agg(F.round(F.sum(F.log("l_extendedprice")), 4).alias("sum_log_price"),
+             F.round(F.avg(F.greatest("l_discount", "l_tax")), 6).alias("avg_max_rate"),
+             F.sum(F.floor(F.col("l_quantity") / 10)).cast("long").alias("sum_qty_decade"))
+    )
+
+
+SQL_SCALAR_MATH = """
+SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket7,
+       round(CAST(sum(ln(l_extendedprice)) AS DOUBLE), 4) AS sum_log_price,
+       round(avg(greatest(l_discount, l_tax)), 6) AS avg_max_rate,
+       CAST(sum(floor(l_quantity / 10)) AS BIGINT) AS sum_qty_decade
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(F.col("embedding").cast("array<double>"), 1), 6).alias("first_val"),
+        F.round(F.sqrt(F.expr(
+            "aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")), 6).alias("l2_norm"),
+    )
+
+
+SQL_SCALAR_ARRAY = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_val", F.get_json_object("props", "$.k"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("k_val").alias("n_k"),
+             F.max("k_val").alias("max_k"))
+    )
+
+
+SQL_SCALAR_JSON = """
+SELECT event_type, CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
+       max(json_extract_string(props, '$.k')) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .harness import _hash_spark
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_hex"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_hex"),
+        F.expr(_hash_spark("c_name")).alias("h60"),
+    )
+
+
+SQL_SCALAR_HASH = f"""
+SELECT c_custkey, md5(c_name) AS md5_hex, sha256(c_name) AS sha256_hex,
+       {HD('c_name')} AS h60
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: postings codec integrity (rows-only check, F9)
+# ---------------------------------------------------------------------------
+
+def q_postings_codec_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every segment row of the built index and validate the
+    binary codec invariants (ascending docids, counts match, block
+    offsets resolve). Binary postings are not SQL-expressible → driver
+    records the weaker rows-only check (SURVEY §2.9 F9)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .codec import decode_block
+    from .harness import _ensure_index
+    from .operators.build import IndexPaths
+
+    idx = _ensure_index(spark, sf_dir)
+    seg = spark.read.parquet(IndexPaths(idx).segments)
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = np.frombuffer(r["postings"], dtype=np.uint8)
+                ds = []
+                for b in r["blocks"]:
+                    d, t, l = decode_block(buf, int(b["offset"]))
+                    ds.append(d)
+                    assert d[-1] == b["last_docid"]
+                alld = np.concatenate(ds) if ds else np.empty(0, np.int64)
+                ok = alld.size == r["n"]
+                if ok and alld.size > 1:
+                    ok = bool((np.diff(alld) > 0).all())
+                rows.append((r["term"], int(r["n"]), bool(ok)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["term", "n", "codec_ok"])
+
+    out = seg.mapInPandas(check, schema="term string, n long, codec_ok boolean")
+    return out.groupBy("codec_ok").agg(
+        F.count("*").alias("n_rows"), F.sum("n").alias("n_postings"))
+
+
+QUERIES2 = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "scalar_string": q_scalar_string,
+    "scalar_url_host": q_scalar_url_host,
+    "scalar_datetime": q_scalar_datetime,
+    "scalar_math": q_scalar_math,
+    "scalar_array": q_scalar_array,
+    "scalar_json": q_scalar_json,
+    "scalar_hash": q_scalar_hash,
+    "postings_codec_check": q_postings_codec_check,
+}
+
+ORACLES2 = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": _minhash_duck(),
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash": _simhash_duck(),
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_bucket": SQL_ANN_LSH_BUCKET,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_token_count": SQL_TEXT_TOKEN_COUNT,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "events_session": SQL_EVENTS_SESSION,
+    "scalar_string": SQL_SCALAR_STRING,
+    "scalar_url_host": SQL_SCALAR_URL_HOST,
+    "scalar_datetime": SQL_SCALAR_DATETIME,
+    "scalar_math": SQL_SCALAR_MATH,
+    "scalar_array": SQL_SCALAR_ARRAY,
+    "scalar_json": SQL_SCALAR_JSON,
+    "scalar_hash": SQL_SCALAR_HASH,
+    # postings_codec_check: intentionally absent — rows-only (binary codec)
+}

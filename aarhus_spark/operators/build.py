@@ -119,14 +119,22 @@ class IndexPaths:
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
     """lang filter, E(html) where text is null, empty guard, dedup-by-url
-    latest-warc_ts-wins (frozen §1.3.3). Returns (url, text)."""
+    latest-warc_ts-wins with max-text tiebreak (frozen §1.3.3).
+    Returns (url, text).
+
+    Standalone operator form (one url-shuffle for the dedup window).
+    ``build_index`` does NOT call this — it uses the fused
+    :func:`prepare_and_assign_docids`, which performs dedup + extract +
+    filter inside the docid range-shuffle and saves a full-corpus
+    exchange; both produce identical rows (asserted in tests).
+    """
     from pyspark.sql.window import Window
 
     @F.pandas_udf(T.StringType())
     def extract_udf(html: pd.Series) -> pd.Series:
         return extract_series(html)
 
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc_nulls_last("text"))
     df = (
         pages
         .filter(F.col("lang") == "en")                       # P2 → pushed to scan
@@ -143,6 +151,71 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # T8: global lexicographic dense docID assignment (2-pass)
 # ---------------------------------------------------------------------------
+
+def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
+                              n_partitions: int) -> DataFrame:
+    """Fused P2-P5 + T8: ONE full-corpus shuffle instead of two.
+
+    The docid assignment needs a range-shuffle by url anyway; since
+    range partitioning colocates equal urls, the latest-wins dedup,
+    the E(html) extraction, and the empty-text filter all run inside
+    the same partition-sorted pass (one Python/Arrow round trip),
+    and the separate dedup-window exchange of :func:`prepare_pages`
+    disappears. Two-pass offsets as in the docstring below.
+    Returns (docid, url, text), persisted.
+    """
+    rp = (
+        pages.filter(F.col("lang") == "en")                    # P2 → pushed to scan
+        .select("url", "warc_ts", "html", "text")
+        .repartitionByRange(n_partitions, "url")
+        .sortWithinPartitions("url", F.desc("warc_ts"), F.desc_nulls_last("text"))
+    )
+
+    def dedup_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_url: str | None = None  # dedup across batch boundary
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = ~pdf["url"].duplicated(keep="first")       # P4 (sorted: first = winner)
+            if last_url is not None:
+                keep &= pdf["url"] != last_url
+            last_url = pdf["url"].iloc[-1]
+            pdf = pdf[keep]
+            if len(pdf) == 0:
+                continue
+            nulls = pdf["text"].isna()
+            if nulls.any():                                   # P5 vectorized E(html)
+                pdf = pdf.copy()
+                pdf.loc[nulls, "text"] = extract_series(pdf.loc[nulls, "html"])
+            pdf = pdf[pdf["text"].notna() & (pdf["text"].str.len() > 0)]  # P3
+            if len(pdf):
+                yield pdf[["url", "text"]]
+
+    deduped = (
+        rp.mapInPandas(dedup_extract, schema="url string, text string")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["pid"]: r["cnt"] for r in
+              deduped.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            off = b_offsets.value[int(pdf["pid"].iloc[0])]
+            pdf = pdf.assign(docid=np.arange(local, local + len(pdf), dtype=np.int64) + off)
+            local += len(pdf)
+            yield pdf[["docid", "url", "text"]]
+
+    return deduped.mapInPandas(assign, schema="docid long, url string, text string")
+
 
 def assign_docids(spark: SparkSession, prepared: DataFrame, n_partitions: int) -> DataFrame:
     """Deterministic dense docids = rank of url in global sort order.
@@ -401,10 +474,9 @@ def build_index(
         with open(paths.stats) as f:
             return json.load(f)
 
-    # --- P1-P5 + T8 ---
+    # --- P1-P5 + T8 (fused: one url range-shuffle, one Python pass) ---
     t0 = time.time()
-    prepared = prepare_pages(pages)
-    docs = assign_docids(spark, prepared, n_partitions)
+    docs = prepare_and_assign_docids(spark, pages, n_partitions)
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()
     stage("prepare+docids", t0, n_docs=n_docs)

@@ -1,0 +1,157 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join → exact-Jaccard verify), SimHash, and n-gram Jaccard —
+each expressed as DataFrame transformations whose expensive parts are
+hash-partitioned joins/aggregations (scale: the LSH band join shuffles
+only (doc_id, band_hash) pairs, never text; the verify join touches
+only candidate pairs).
+
+Cross-engine-portable hashing: md5-based 60-bit ints (see
+harness.py), so every operator here has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
+def _h(expr: str) -> str:
+    """Portable 60-bit hash of a string expression (Spark dialect)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) -> (doc_id, sh): distinct n-gram token shingles."""
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return (
+        df.withColumn("toks", F.expr(TOKS_EXPR.replace("text", text_col)))
+        .withColumn("shs", F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts}))) ELSE array() END"))
+        .select("doc_id", F.explode("shs").alias("sh"))
+    )
+
+
+def exact_duplicates(df: DataFrame, key: str = "text") -> DataFrame:
+    """Exact dedup by content hash-groupBy: rows whose ``key`` equals an
+    earlier row's. Returns (doc_id, keep_id). One shuffle on md5(key)
+    (never the full text at scale — group on the digest)."""
+    groups = (
+        df.groupBy(F.md5(key).alias("k"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    return (
+        df.select("doc_id", F.md5(key).alias("k"))
+        .join(groups, "k")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", "keep_id")
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, m0..m{n-1}): MinHash signature via
+    n_hashes salted portable hashes, one hash-agg pass."""
+    aggs = []
+    for i in range(n_hashes):
+        salted = "concat('" + str(i) + ":', sh)"
+        aggs.append(F.expr(f"min({_h(salted)})").alias(f"m{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Band the signature (rows of band_size hashes), hash each band,
+    self-join on (band, band_hash) -> distinct candidate (doc_a, doc_b)."""
+    n_bands = n_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = "||','||".join(
+            f"CAST(m{b * band_size + j} AS STRING)" for j in range(band_size))
+        piece = sig.select(
+            "doc_id", F.lit(b).alias("band"), F.expr(_h(f"({cols})")).alias("bh"))
+        bands = piece if bands is None else bands.unionByName(piece)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.sh") == F.col("x.sh")))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("ni"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .withColumn("jac", F.col("ni") / (F.col("sa.ns") + F.col("sb.ns") - F.col("ni")))
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard_r"))
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
+                      threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH bands →
+    candidate join → exact Jaccard verify ≥ threshold."""
+    sh = shingles(df)
+    sig = minhash_signatures(sh, n_hashes)
+    cand = lsh_candidate_pairs(sig, n_hashes, band_size)
+    return jaccard_verify(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        max_shingle_freq: int = 20) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold WITHOUT LSH (the exact
+    baseline). Frequent-shingle filtering bounds the self-join: a
+    shingle occurring in > max_shingle_freq docs generates O(f²) pairs
+    and near-zero Jaccard signal, so it is dropped from candidate
+    generation (deterministic, applied identically in the oracle);
+    Jaccard is still computed over ALL shingles."""
+    sh = shingles(df)
+    rare = (sh.groupBy("sh").agg(F.count("*").alias("f"))
+            .filter(F.col("f") <= max_shingle_freq).select("sh"))
+    sh_r = sh.join(rare, "sh")
+    x = sh_r.alias("x")
+    y = sh_r.alias("y")
+    cand = (
+        x.join(y, (F.col("x.sh") == F.col("y.sh"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold)
+
+
+def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash): sign-of-sum over per-token
+    hash bits (distinct tokens, weight 1). One explode + one hash agg."""
+    tok = (
+        df.withColumn("toks", F.expr(TOKS_EXPR))
+        .select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .withColumn("hv", F.expr(_h("term")))
+    )
+    aggs = [
+        F.sum(F.when(F.expr(f"(shiftright(hv, {b}) & 1) = 1"), 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*aggs)
+    expr = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return agg.select("doc_id", F.expr(f"CAST({expr} AS BIGINT)").alias("simhash"))

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus a
+sign-LSH-bucketed variant as the scale path (candidates restricted to
+one hash bucket before exact rerank). Dot products run JVM-side via
+``zip_with`` + ``aggregate`` higher-order functions — no Python on the
+per-pair hot path. Anchor vectors for the LSH hyperplanes are rows of
+the table itself (deterministic, no shared RNG needed — which also
+makes the DuckDB oracle twin exact).
+
+Scale: brute-force is O(N·Q) dot products — fine for Q queries
+against any N since it is a broadcast of Q query vectors over a scan;
+the LSH variant turns candidate generation into an equi-join on
+bucket signature (shuffle keyed by ≤2^n_anchors values; at web scale
+raise n_anchors so buckets stay ~uniform)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+        f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(F.expr(
+        f"aggregate(transform(CAST({a} AS ARRAY<DOUBLE>), x -> x * x), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector. The query side
+    is tiny → broadcast; ranking is over ROUNDED similarity with vec_id
+    tiebreak (deterministic + oracle-stable)."""
+    q = (emb.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_r", F.round(
+            _dot("embedding", "qv") / (_norm("embedding") * _norm("qv")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_r")
+    )
+
+
+def sign_lsh_buckets(emb: DataFrame, anchor_ids: list[int]) -> DataFrame:
+    """Assign each vector a bucket = sign bits of its dot products with
+    the anchor vectors. Returns (vec_id, embedding, bucket)."""
+    anchors = (emb.filter(F.col("vec_id").isin(anchor_ids))
+               .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av")))
+    bits = (
+        emb.crossJoin(F.broadcast(anchors))
+        .withColumn("bit", F.when(_dot("embedding", "av") > 0, 1).otherwise(0))
+        .groupBy("vec_id")
+        .agg(F.sum(F.expr(
+            "bit * CAST(pow(2, CAST(aid AS INT) % 32) AS BIGINT)")).alias("bucket"))
+    )
+    return emb.join(bits, "vec_id")
+
+
+def cosine_topk_lsh(emb: DataFrame, query_ids: list[int],
+                    anchor_ids: list[int], k: int = 10) -> DataFrame:
+    """ANN: candidates = same sign-LSH bucket as the query, then exact
+    cosine rerank. Approximate by design (bucket boundaries)."""
+    bucketed = sign_lsh_buckets(emb, anchor_ids)
+    q = (bucketed.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                 F.col("bucket").alias("qb")))
+    cand = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_r", F.round(
+            _dot("embedding", "qv") / (_norm("embedding") * _norm("qv")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_r")
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, max_vec_id: int, top_n: int = 20) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: top-N most-similar
+    pairs among vec_id < max_vec_id (bounded all-pairs; at scale the
+    LSH bucketing above generates candidates instead)."""
+    e = emb.filter(F.col("vec_id") < max_vec_id)
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.crossJoin(b).filter(F.col("va") < F.col("vb"))
+        .withColumn("cos_r", F.round(
+            _dot("ea", "eb") / (_norm("ea") * _norm("eb")), 6))
+    )
+    w = Window.orderBy(F.desc("cos_r"), F.asc("va"), F.asc("vb"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "va", "vb", "cos_r")
+    )

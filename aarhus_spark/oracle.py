@@ -42,11 +42,13 @@ def build(rows: list[dict]) -> OracleIndex:
     pipeline: lang='en' filter, non-empty text, dedup latest-wins,
     E(html) when text is null, lexicographic dense docids.
     """
-    # dedup by url: keep max warc_ts, ties -> first seen (§1.3.3)
+    # dedup by url: keep max warc_ts; ties broken by max text — fully
+    # deterministic under any row order / partitioning (§1.3.3)
     best: dict[str, dict] = {}
     for r in rows:
         u = r["url"]
-        if u not in best or r["warc_ts"] > best[u]["warc_ts"]:
+        key = (r["warc_ts"], r.get("text") or "")
+        if u not in best or key > (best[u]["warc_ts"], best[u].get("text") or ""):
             best[u] = r
     # filters (P2, P3) after text materialization
     docs: dict[str, str] = {}

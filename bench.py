@@ -1,0 +1,93 @@
+"""Per-round benchmark (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "build_docs_per_sec": ..., "extras": {...}}
+
+The index build is the headline number (BASELINE.json metric is
+index-build docs/sec); search and the training-data operators are the
+secondary heads. Scaling-efficiency evidence (local[8] vs local[32])
+is produced by bench/scaling.py, not here (it needs two JVMs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from aarhus_spark.session import get_spark
+    spark = get_spark("aarhus-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from aarhus_spark.operators.build import build_index
+    from aarhus_spark.operators.search import search_taat, search_wand
+    from aarhus_spark.sources.fixtures import gen_queries
+    from aarhus_spark.sources.io import pages_from_documents, read_table
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: index build over the documents table mapped to the pages shape
+    idx_dir = os.path.join("/tmp", f"aarhus_bench_idx_{sf}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    pages = pages_from_documents(spark, sf_dir)
+    stats = timed("build_index", lambda: build_index(spark, pages, idx_dir))
+    n_docs = stats["N"]
+    extras["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
+    extras["n_docs"] = n_docs
+    extras["n_terms"] = stats["n_terms"]
+
+    # flagship search query set: 50 queries over the built index
+    qpdf = gen_queries(__import__("pandas").DataFrame())
+    qdf = spark.createDataFrame(qpdf)
+
+    timed("search_taat_50q", lambda: search_taat(spark, idx_dir, qdf).count())
+    timed("search_wand_50q", lambda: search_wand(spark, idx_dir, qdf).count())
+
+    # secondary heads: training-data pipeline operators at sf
+    from aarhus_spark.operators import dedup as D
+    from aarhus_spark.operators import similarity as S
+    from aarhus_spark.operators import textstats as TS
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings")
+    timed("dedup_minhash_lsh", lambda: D.minhash_lsh_dedup(docs).count())
+    timed("dedup_exact", lambda: D.exact_duplicates(docs).count())
+    timed("simhash", lambda: D.simhash(docs).count())
+    timed("ann_cosine_topk", lambda: S.cosine_topk(emb, [0, 1, 2], 10).count())
+    timed("text_quality", lambda: TS.quality_score(docs).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index_build_plus_headline_ops_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extras": extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

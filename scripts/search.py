@@ -1,0 +1,39 @@
+"""spark-submit entry point: BM25 top-k retrieval.
+
+    spark-submit --py-files engine.zip scripts/search.py \
+        --index /path/index --queries /path/queries_parquet \
+        [--k 10] [--mode wand|taat] [--out /path/results]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["wand", "taat"], default="wand")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from aarhus_spark.operators.search import search_taat, search_wand
+    from aarhus_spark.session import get_spark
+    from aarhus_spark.sources.io import read_queries
+
+    spark = get_spark("aarhus-search", master=args.master)
+    qdf = read_queries(spark, args.queries)
+    fn = search_wand if args.mode == "wand" else search_taat
+    res = fn(spark, args.index, qdf, k=args.k)
+    if args.out:
+        res.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.out)
+    else:
+        res.orderBy("query_id", "rank").show(100, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Plan-shape assertions (SURVEY.md §5): predicates reach the parquet
+scan, the dictionary join broadcasts, and no row-at-a-time Python UDF
+(BatchEvalPython) appears on any hot path — only Arrow nodes
+(ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)."""
+
+import os
+
+import pytest
+
+from aarhus_spark.operators.build import prepare_pages
+from aarhus_spark.operators.search import analyze_queries, candidate_segments
+from aarhus_spark.sources.fixtures import gen_pages
+from aarhus_spark.sources.io import read_pages
+
+
+def _plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.toString()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmpdir_session):
+    path = os.path.join(tmpdir_session, "pages_pq")
+    spark.createDataFrame(gen_pages(300)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_lang_filter_pushed_to_scan(spark, pages_parquet):
+    df = prepare_pages(read_pages(spark, pages_parquet))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan.replace(" ", "").replace("'", "") or \
+           "EqualTo(lang,en)" in plan
+    # no row-Python anywhere in the prepare pipeline
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the E(html) vectorized UDF
+
+
+def test_html_column_pruned_for_narrow_projection(spark, pages_parquet):
+    """P1: a projection that doesn't need the html payload must not scan
+    it (Catalyst column pruning reaching ReadSchema)."""
+    df = (read_pages(spark, pages_parquet)
+          .filter("lang = 'en'").select("url", "warc_ts"))
+    plan = _plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines
+    assert all("html" not in l and "text:" not in l for l in scan_lines), scan_lines
+
+
+def test_search_uses_broadcast_and_term_pushdown(spark, tmpdir_session, pages_parquet):
+    from aarhus_spark.operators.build import build_index
+    from aarhus_spark.operators.search import search_taat
+    idx = os.path.join(tmpdir_session, "idx_plan")
+    build_index(spark, read_pages(spark, pages_parquet), idx,
+                n_partitions=3, n_buckets=2, salts=2)
+    qdf = spark.createDataFrame([(0, "the spark data")], "query_id long, qtext string")
+    res = search_taat(spark, idx, qdf)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+    # term IN (...) reaches the segments parquet scan
+    seg = candidate_segments(spark, idx, ["the", "spark", "data"])
+    seg_plan = _plan(seg)
+    assert "PushedFilters" in seg_plan and "In(term" in seg_plan
+
+
+def test_tokenize_is_arrow_not_row_python(spark, pages_parquet):
+    from aarhus_spark.operators.build import tokenize_docs, assign_docids
+    docs = assign_docids(spark, prepare_pages(read_pages(spark, pages_parquet)), 3)
+    toks = tokenize_docs(docs)
+    plan = _plan(toks)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_query_analysis_no_row_python(spark):
+    qdf = spark.createDataFrame([(0, "a b")], "query_id long, qtext string")
+    plan = _plan(analyze_queries(qdf))
+    assert "BatchEvalPython" not in plan
