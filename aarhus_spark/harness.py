@@ -73,9 +73,10 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     documents table mapped to the pages shape."""
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
+    from . import __version__
     from .operators.build import build_index
     out = os.path.join(tempfile.gettempdir(),
-                       "aarhus_idx_" + sf_dir.strip("/").replace("/", "_"))
+                       f"aarhus_idx_v{__version__}_" + sf_dir.strip("/").replace("/", "_"))
     from .operators.build import IndexPaths
     if not (os.path.exists(IndexPaths(out).stats)
             and os.path.exists(os.path.join(IndexPaths(out).segments, "_SUCCESS"))):

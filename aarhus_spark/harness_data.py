@@ -517,6 +517,47 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# as-of join (J5): latest order at-or-before each event, per user
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import as_of_join
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", F.col("user_id").alias("k"), "ts"))
+    orders = (_t(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("k"), "o_orderdate",
+                      "o_orderkey", "o_totalprice"))
+    j = as_of_join(ev, orders, key="k", left_ts="ts", right_ts="o_orderdate",
+                   right_vals=["o_orderkey", "o_totalprice"])
+    return j.select("event_id", F.col("k").alias("user_id"), "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_price"))
+
+
+SQL_ASOF_JOIN = """
+WITH best AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id, b.o_orderkey, round(b.o_totalprice, 2) AS o_price
+FROM events e LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: approx count distinct — HLL sketches differ between engines, so
+# this entry is rows-only by design (exact twin is agg_distinct)
+# ---------------------------------------------------------------------------
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible: postings codec integrity (rows-only check, F9)
 # ---------------------------------------------------------------------------
 
@@ -583,6 +624,8 @@ QUERIES2 = {
     "scalar_array": q_scalar_array,
     "scalar_json": q_scalar_json,
     "scalar_hash": q_scalar_hash,
+    "asof_join": q_asof_join,
+    "agg_approx_distinct": q_agg_approx_distinct,
     "postings_codec_check": q_postings_codec_check,
 }
 
@@ -609,5 +652,7 @@ ORACLES2 = {
     "scalar_array": SQL_SCALAR_ARRAY,
     "scalar_json": SQL_SCALAR_JSON,
     "scalar_hash": SQL_SCALAR_HASH,
-    # postings_codec_check: intentionally absent — rows-only (binary codec)
+    "asof_join": SQL_ASOF_JOIN,
+    # rows-only by design: postings_codec_check (binary codec),
+    # agg_approx_distinct (HLL sketch values are engine-specific)
 }

@@ -189,10 +189,13 @@ def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
                 pdf.loc[nulls, "text"] = extract_series(pdf.loc[nulls, "html"])
             pdf = pdf[pdf["text"].notna() & (pdf["text"].str.len() > 0)]  # P3
             if len(pdf):
-                yield pdf[["url", "text"]]
+                # T2 inline: dl = |T(text)| computed here so doclens and
+                # corpus stats never need a pass over the token stream
+                dl = tokenize_series(pdf["text"]).map(len)
+                yield pdf[["url", "text"]].assign(dl=dl.astype("int64"))
 
     deduped = (
-        rp.mapInPandas(dedup_extract, schema="url string, text string")
+        rp.mapInPandas(dedup_extract, schema="url string, text string, dl long")
         .withColumn("pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -212,9 +215,10 @@ def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
             off = b_offsets.value[int(pdf["pid"].iloc[0])]
             pdf = pdf.assign(docid=np.arange(local, local + len(pdf), dtype=np.int64) + off)
             local += len(pdf)
-            yield pdf[["docid", "url", "text"]]
+            yield pdf[["docid", "url", "text", "dl"]]
 
-    return deduped.mapInPandas(assign, schema="docid long, url string, text string")
+    out = deduped.mapInPandas(assign, schema="docid long, url string, text string, dl long")
+    return out, acc
 
 
 def assign_docids(spark: SparkSession, prepared: DataFrame, n_partitions: int) -> DataFrame:
@@ -474,42 +478,45 @@ def build_index(
         with open(paths.stats) as f:
             return json.load(f)
 
-    # --- P1-P5 + T8 (fused: one url range-shuffle, one Python pass) ---
+    # --- P1-P5 + T2 + T8 (fused: one url range-shuffle, one Python pass;
+    #     dl computed inline so no pass over the token stream is needed
+    #     for doclens/corpus stats) ---
     t0 = time.time()
-    docs = prepare_and_assign_docids(spark, pages, n_partitions)
+    docs, n_docs = prepare_and_assign_docids(spark, pages, n_partitions)
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = docs.count()
-    stage("prepare+docids", t0, n_docs=n_docs)
+    agg = docs.agg(F.sum("dl").alias("sumdl")).collect()[0]
+    avgdl = float(agg["sumdl"] or 0) / n_docs if n_docs else 0.0
+    docs.select("docid", "url", "dl").write.mode("overwrite").parquet(paths.doclens)
+    stage("prepare+docids+doclens", t0, n_docs=n_docs, avgdl=avgdl)
 
-    # --- T1 tokenize (persisted: feeds doclens, dictionary, fragments) ---
+    # --- T5 head-term detection on a SAMPLE (one small python pass; the
+    #     full token stream is touched exactly once, in the fragment job).
+    #     The head set is persisted: resume MUST reuse the original
+    #     classification or bucket assignments would shift mid-build. ---
     t0 = time.time()
-    tokens = tokenize_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    heads_path = os.path.join(out_dir, "heads.json")
+    if resume and os.path.exists(heads_path):
+        with open(heads_path) as f:
+            heads_meta = json.load(f)
+        head_terms, head_thr = heads_meta["terms"], heads_meta["thr"]
+    else:
+        target = 50_000
+        frac = min(1.0, target / max(n_docs, 1))
+        sample = docs if frac >= 1.0 else docs.sample(fraction=frac, seed=42)
+        df_s = tokenize_docs(sample).groupBy("term").agg(F.count("*").alias("df"))
+        thr_row = df_s.agg(F.percentile_approx("df", head_df_quantile).alias("t")).collect()[0]
+        head_thr = max(int(thr_row["t"] or 0), int(2 * BLOCK_SIZE * frac) + 1)
+        head_terms = [r["term"] for r in
+                      df_s.filter(F.col("df") > head_thr).select("term").collect()]
+        with open(heads_path, "w") as f:
+            json.dump({"terms": head_terms, "thr": head_thr, "frac": frac}, f)
+    stage("head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
 
-    # --- T2/T4 doclens + corpus stats ---
-    doclens = tokens.groupBy("docid").agg(F.max("dl").alias("dl"))
-    agg = doclens.agg(F.count("*").alias("n"), F.sum("dl").alias("sumdl")).collect()[0]
-    n_with_tokens, sumdl = agg["n"] or 0, agg["sumdl"] or 0
-    avgdl = float(sumdl) / n_with_tokens if n_with_tokens else 0.0
-    (doclens.join(docs.select("docid", "url"), "docid")
-        .write.mode("overwrite").parquet(paths.doclens))
-    stage("doclens+stats", t0, n=n_with_tokens, avgdl=avgdl)
-
-    # --- T3 dictionary + T5 head-term detection ---
-    t0 = time.time()
-    dictionary = tokens.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf"))
-    dictionary.write.mode("overwrite").parquet(paths.dictionary)
-    dict_df = spark.read.parquet(paths.dictionary)
-    agg2 = dict_df.agg(F.percentile_approx("df", head_df_quantile).alias("t"),
-                       F.count("*").alias("n_terms")).collect()[0]
-    n_terms = agg2["n_terms"]
-    head_thr = max(int(agg2["t"] or 0), 2 * BLOCK_SIZE)
-    head_terms = [r["term"] for r in dict_df.filter(F.col("df") > head_thr).select("term").collect()]
-    stage("dictionary", t0, n_terms=n_terms, head_thr=head_thr, n_head=len(head_terms))
-
-    # --- T5 salt + bucket ---
+    # --- T1 tokenize → T5 salt → big shuffle (token stream flows
+    #     straight into the encoder: never persisted, never re-read) ---
     head_df = spark.createDataFrame(
         [(t, True) for t in head_terms] or [], schema="term string, is_head boolean")
+    tokens = tokenize_docs(docs)
     salted = (
         tokens.join(F.broadcast(head_df), "term", "left")
         .withColumn("is_head", F.coalesce("is_head", F.lit(False)))
@@ -562,9 +569,18 @@ def build_index(
     tail.unionByName(head).write.mode("overwrite").parquet(paths.segments)
     stage("merge+segments", t0)
 
+    # --- T3 dictionary: derived from fragment METADATA (|fragment| rows,
+    #     pure JVM) — no second aggregation over the raw token stream ---
+    t0 = time.time()
+    (frags.groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+        .write.mode("overwrite").parquet(paths.dictionary))
+    n_terms = spark.read.parquet(paths.dictionary).count()
+    stage("dictionary", t0, n_terms=n_terms)
+
     # --- S4/S6 stats + metrics ---
     stats = {
-        "N": n_with_tokens,
+        "N": n_docs,
         "avgdl": avgdl,
         "n_terms": n_terms,
         "build_config": {
@@ -579,7 +595,6 @@ def build_index(
     with open(paths.metrics, "a") as f:
         for m in metrics:
             f.write(json.dumps(m) + "\n")
-    tokens.unpersist()
     docs.unpersist()
     return stats
 

@@ -106,3 +106,100 @@ def gen_queries(pages: pd.DataFrame, seed: int = SEED) -> pd.DataFrame:
 def pages_rows(pdf: pd.DataFrame) -> list[dict]:
     """pandas pages frame -> list-of-dict rows for the NumPy oracle."""
     return pdf.to_dict("records")
+
+
+# ---------------------------------------------------------------------------
+# Scalable generator: every field derives ONLY from (seed, row id) via a
+# vectorized splitmix64 — deterministic and partition-independent, so it
+# runs distributed under mapInPandas for bench corpora of any size
+# (the loop-based gen_pages above stays as the small-fixture reference).
+# ---------------------------------------------------------------------------
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = (x + _GOLD).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _C1
+    z = (z ^ (z >> np.uint64(27))) * _C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(counter: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    h = _mix64(counter.astype(np.uint64)
+               ^ _mix64(np.uint64(seed * 1_000_003 + stream) + np.zeros(1, np.uint64)))
+    return h.astype(np.float64) / float(1 << 64)
+
+
+def gen_pages_block(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
+    """pages rows for the given row ids (vectorized, no Python loop on
+    the token axis). E(html) == text byte-identically by construction."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = ids.size
+    vocab = np.array(_vocab())
+    probs = (np.arange(1, len(vocab) + 1, dtype=np.float64)) ** -1.07
+    cdf = np.cumsum(probs / probs.sum())
+    hcdf = np.cumsum((np.arange(1, 51, dtype=np.float64) ** -1.1)
+                     / (np.arange(1, 51, dtype=np.float64) ** -1.1).sum())
+
+    lens = 20 + (_mix64(ids.astype(np.uint64) ^ np.uint64(seed)) % np.uint64(481)).astype(np.int64)
+    hosts = np.searchsorted(hcdf, _u01(ids, 1, seed))
+    lang_u = _u01(ids, 2, seed)
+    langs = np.select(
+        [lang_u < 0.90, lang_u < 0.925, lang_u < 0.95, lang_u < 0.975],
+        ["en", "de", "es", "zh"], default="fr")
+
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    total = int(offsets[-1])
+    i_arr = np.repeat(ids, lens)
+    j_arr = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    tok_u = _u01(i_arr * (1 << 20) + j_arr, 3, seed)
+    words = vocab[np.searchsorted(cdf, tok_u)]
+
+    texts = []
+    for k in range(n):
+        texts.append(" ".join(words[offsets[k]:offsets[k + 1]]))
+    urls = [f"https://host{h}.example/p{int(i) % 7}/{int(i)}"
+            for h, i in zip(hosts, ids)]
+    tss = [_BASE_TS + _dt.timedelta(seconds=int(i)) for i in ids]
+    htmls = [(f"<html><head><script>junk();</script><style>p {{}}</style>"
+              f"</head><body><p>{t}</p></body></html>").encode() for t in texts]
+    pdf = pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls,
+                        "text": texts, "lang": langs})
+
+    # ~1% planted duplicates: same url, +1 day, regenerated text (stream 4)
+    dup = _u01(ids, 5, seed) < 0.01
+    if dup.any():
+        d_ids = ids[dup]
+        d_lens = 20 + (_mix64(d_ids.astype(np.uint64) ^ np.uint64(seed + 7)) % np.uint64(481)).astype(np.int64)
+        d_off = np.concatenate(([0], np.cumsum(d_lens)))
+        di = np.repeat(d_ids, d_lens)
+        dj = np.arange(int(d_off[-1]), dtype=np.int64) - np.repeat(d_off[:-1], d_lens)
+        d_words = vocab[np.searchsorted(cdf, _u01(di * (1 << 20) + dj, 4, seed))]
+        d_rows = []
+        for k, i in enumerate(d_ids):
+            t = " ".join(d_words[d_off[k]:d_off[k + 1]])
+            d_rows.append((urls[int(np.flatnonzero(ids == i)[0])],
+                           _BASE_TS + _dt.timedelta(seconds=int(i), days=1),
+                           f"<html><body><p>{t}</p></body></html>".encode(),
+                           t, langs[int(np.flatnonzero(ids == i)[0])]))
+        pdf = pd.concat([pdf, pd.DataFrame(
+            d_rows, columns=["url", "warc_ts", "html", "text", "lang"])],
+            ignore_index=True)
+    return pdf
+
+
+def gen_pages_spark(spark, n_rows: int, seed: int = SEED, partitions: int | None = None):
+    """Distributed deterministic corpus: same rows for ANY partitioning."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield gen_pages_block(pdf["id"].to_numpy(), seed)
+
+    return (spark.range(0, n_rows, numPartitions=parts)
+            .mapInPandas(gen, schema="url string, warc_ts timestamp, html binary, "
+                                     "text string, lang string"))

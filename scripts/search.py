@@ -8,6 +8,12 @@
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable both via `spark-submit --py-files engine.zip` and directly
+# from a checkout (python scripts/build_index.py ...)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -10,9 +10,15 @@ def test_fused_equals_standalone(spark):
     pdf = gen_pages(500)
     pages = spark.createDataFrame(pdf)
     want = sorted((r["url"], r["text"]) for r in prepare_pages(pages).collect())
-    fused = prepare_and_assign_docids(spark, pages, 4).collect()
+    fused_df, n = prepare_and_assign_docids(spark, pages, 4)
+    fused = fused_df.collect()
     got = sorted((r["url"], r["text"]) for r in fused)
     assert got == want
+    assert n == len(want)
+    # inline dl matches the frozen tokenizer
+    from aarhus_spark.textops import tokenize
+    for r in fused[:50]:
+        assert r["dl"] == len(tokenize(r["text"]))
     # docid == rank of url in sorted order
     by_docid = sorted((r["docid"], r["url"]) for r in fused)
     assert [d for d, _ in by_docid] == list(range(len(by_docid)))

@@ -85,8 +85,8 @@ def test_metrics_lineage_written(spark, corpus, tmpdir_session):
     p = IndexPaths(idx)
     lines = [json.loads(l) for l in open(p.metrics)]
     stages = {m["stage"] for m in lines}
-    assert {"prepare+docids", "doclens+stats", "dictionary",
-            "fragments", "merge+segments"} <= stages
+    assert {"prepare+docids+doclens", "head-detect",
+            "fragments", "merge+segments", "dictionary"} <= stages
     for f in os.listdir(p.manifests):
         man = json.load(open(os.path.join(p.manifests, f)))
         assert {"bucket", "rows", "postings", "tokens_per_sec", "wall_s"} <= set(man)
