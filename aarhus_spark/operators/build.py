@@ -22,11 +22,11 @@ Pipeline (one ``build_index`` call):
   → S4+S6   doclens/stats/metrics sinks.
 
 Resumability (BASELINE.json north rule): fragment buckets are
-content-addressed by a deterministic ``bucket = pmod(xxhash64(term,
-salt), n_buckets)``; a rerun recomputes only buckets whose manifest is
-missing (kill/rerun e2e test in tests/test_resume.py). At production
-scale the token stream itself would also be checkpointed to the object
-store before the bucket shuffle; in-sandbox we persist() it.
+content-addressed by a deterministic ``bucket = hash(term) ^ mix(salt)
+mod n_buckets`` (vectorized C siphash with a fixed key — stable across
+processes); a rerun recomputes only buckets whose manifest is missing
+(kill/rerun e2e test in tests/test_resume.py), reusing the persisted
+head-term classification in ``heads.json``.
 
 Scale notes (10^12 docs, SURVEY §7 "hard parts"): every wide operation
 here shuffles rows that are O(tokens) with ~20-byte rows; head-term
@@ -77,6 +77,21 @@ FRAG_PA_SCHEMA = pa.schema([
 ])
 
 FRAGMENT_SUMMARY_SCHEMA = "bucket int, rows long, postings long, wall_s double"
+
+# Spark-typed mirror of FRAG_PA_SCHEMA (for the empty-corpus fallback)
+FRAG_PA_SCHEMA_SPARK = [
+    T.StructField("term", T.StringType()),
+    T.StructField("salt", T.IntegerType()),
+    T.StructField("is_head", T.BooleanType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("cf", T.LongType()),
+    T.StructField("blocks", T.ArrayType(T.StructType([
+        T.StructField("last_docid", T.LongType()),
+        T.StructField("max_partial", T.DoubleType()),
+        T.StructField("offset", T.LongType()),
+    ]))),
+    T.StructField("postings", T.BinaryType()),
+]
 
 SEGMENT_SCHEMA = T.StructType([
     T.StructField("term", T.StringType()),
@@ -153,7 +168,7 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
-                              n_partitions: int) -> DataFrame:
+                              n_partitions: int, docid_offset: int = 0):
     """Fused P2-P5 + T8: ONE full-corpus shuffle instead of two.
 
     The docid assignment needs a range-shuffle by url anyway; since
@@ -203,7 +218,7 @@ def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
               deduped.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets[pid] = acc + docid_offset
         acc += counts[pid]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
@@ -285,11 +300,57 @@ def tokenize_docs(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(tok, schema=TOKENS_SCHEMA)
 
 
+def _salt_of(terms: pd.Series, docids: pd.Series, head_set: frozenset,
+             n_docs: int, salts: int, docid_offset: int) -> np.ndarray:
+    """Docid-range salt for head terms, 0 for tail (vectorized)."""
+    is_head = terms.isin(head_set).to_numpy()
+    rel = docids.to_numpy(np.int64) - docid_offset
+    return np.where(is_head,
+                    np.minimum(salts - 1, rel * salts // max(n_docs, 1)),
+                    0).astype(np.int32), is_head
+
+
+def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
+                         salts: int, n_buckets: int, docid_offset: int) -> DataFrame:
+    """T1+T5 in one python pass: tokenize AND attach the shuffle key.
+
+    salt/is_head/bucket are all derived vectorized inside the batch
+    (``pd.util.hash_array`` — C siphash with a fixed key, deterministic
+    across processes, which the per-bucket resume relies on), so the
+    token stream needs NO broadcast join and carries only one extra
+    int32 through the big shuffle. The encoder recomputes salt/is_head
+    from the same closure inputs.
+    """
+    head_set = frozenset(head_terms)
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = tokenize_series(pdf["text"])
+            ex = pd.DataFrame({"docid": pdf["docid"]}).assign(term=toks)
+            ex = ex.explode("term", ignore_index=True).dropna(subset=["term"])
+            if len(ex) == 0:
+                continue
+            tf = ex.groupby(["docid", "term"], sort=False).size().rename("tf").reset_index()
+            tf["dl"] = tf.groupby("docid", sort=False)["tf"].transform("sum")
+            salt, _ = _salt_of(tf["term"], tf["docid"], head_set,
+                               n_docs, salts, docid_offset)
+            th = pd.util.hash_array(tf["term"].to_numpy(object))
+            tf["bucket"] = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                            % np.uint64(n_buckets)).astype(np.int32)
+            yield tf[["docid", "term", "tf", "dl", "bucket"]]
+
+    return docs.mapInPandas(tok, schema=TOKENS_SCHEMA + ", bucket int")
+
+
 # ---------------------------------------------------------------------------
 # T6: fragment encoder (runs after the big (term,salt)-bucket shuffle)
 # ---------------------------------------------------------------------------
 
-def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str):
+def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
+                           head_terms: list[str], n_docs: int, salts: int,
+                           docid_offset: int):
     """mapInPandas fn over partitions sorted by (term, docid).
 
     Encodes one blocked-VByte fragment per (term, salt) run — carrying
@@ -350,6 +411,8 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str)
             os.replace(tmp, dst)  # atomic rename: idempotent under task retry
             return man
 
+    head_set = frozenset(head_terms)
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
         sink: _BucketSink | None = None
@@ -379,6 +442,12 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str)
 
         def consume(pdf: pd.DataFrame, final: bool) -> None:
             nonlocal carry
+            if len(pdf) and "salt" not in pdf.columns:
+                # salt/is_head recomputed from the same closure inputs the
+                # tokenizer used (they are not shuffled — one int32 less)
+                salt, is_head = _salt_of(pdf["term"], pdf["docid"], head_set,
+                                         n_docs, salts, docid_offset)
+                pdf = pdf.assign(salt=salt, is_head=is_head)
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True) if len(pdf) else carry
                 carry = None
@@ -459,6 +528,7 @@ def build_index(
     head_df_quantile: float = HEAD_DF_QUANTILE,
     max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
     resume: bool = False,
+    docid_offset: int = 0,
 ) -> dict:
     """Run the full build; returns the stats dict (also written to
     stats.json). ``resume=True`` recomputes only fragment buckets whose
@@ -482,7 +552,7 @@ def build_index(
     #     dl computed inline so no pass over the token stream is needed
     #     for doclens/corpus stats) ---
     t0 = time.time()
-    docs, n_docs = prepare_and_assign_docids(spark, pages, n_partitions)
+    docs, n_docs = prepare_and_assign_docids(spark, pages, n_partitions, docid_offset)
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     agg = docs.agg(F.sum("dl").alias("sumdl")).collect()[0]
     avgdl = float(agg["sumdl"] or 0) / n_docs if n_docs else 0.0
@@ -512,23 +582,11 @@ def build_index(
             json.dump({"terms": head_terms, "thr": head_thr, "frac": frac}, f)
     stage("head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
 
-    # --- T1 tokenize → T5 salt → big shuffle (token stream flows
-    #     straight into the encoder: never persisted, never re-read) ---
-    head_df = spark.createDataFrame(
-        [(t, True) for t in head_terms] or [], schema="term string, is_head boolean")
-    tokens = tokenize_docs(docs)
-    salted = (
-        tokens.join(F.broadcast(head_df), "term", "left")
-        .withColumn("is_head", F.coalesce("is_head", F.lit(False)))
-        .withColumn(
-            "salt",
-            F.when(F.col("is_head"),
-                   F.least(F.lit(salts - 1),
-                           F.floor(F.col("docid") * salts / F.lit(max(n_docs, 1))))
-                   .cast("int"))
-            .otherwise(F.lit(0)))
-        .withColumn("bucket", F.pmod(F.xxhash64("term", "salt"), F.lit(n_buckets)).cast("int"))
-    )
+    # --- T1 tokenize + T5 salt/bucket in ONE python pass → big shuffle
+    #     (token stream flows straight into the encoder: never persisted,
+    #     never re-read, no broadcast join, shuffle key is one int32) ---
+    salted = tokenize_salt_bucket(docs, head_terms, n_docs, salts,
+                                  n_buckets, docid_offset)
 
     # --- resume filter: only buckets without a manifest ---
     done = _done_buckets(paths.manifests) if resume else set()
@@ -546,7 +604,8 @@ def build_index(
         summary = (
             salted.repartition(n_buckets, "bucket")
             .sortWithinPartitions("bucket", "term", "docid")
-            .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests),
+            .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests,
+                                                head_terms, n_docs, salts, docid_offset),
                          schema=FRAGMENT_SUMMARY_SCHEMA)
         ).collect()  # tiny: one row per bucket; forces execution
     else:
@@ -556,7 +615,13 @@ def build_index(
 
     # --- T7 merge → segments ---
     t0 = time.time()
-    frags = spark.read.parquet(paths.fragments)
+    if not os.path.isdir(paths.fragments) or not os.listdir(paths.fragments):
+        # empty corpus (e.g. a delta build with zero new pages):
+        # materialize empty-but-valid artifacts so search over the dir works
+        frags = spark.createDataFrame([], schema=T.StructType(
+            list(FRAG_PA_SCHEMA_SPARK) + [T.StructField("bucket", T.IntegerType())]))
+    else:
+        frags = spark.read.parquet(paths.fragments)
     tail = (
         frags.filter(~F.col("is_head") & (F.col("n") <= max_postings_per_row))
         .select(F.col("term"), F.col("n").alias("df"), F.col("cf"),
@@ -585,7 +650,7 @@ def build_index(
         "n_terms": n_terms,
         "build_config": {
             "n_partitions": n_partitions, "n_buckets": n_buckets,
-            "salts": salts, "head_thr": head_thr,
+            "salts": salts, "head_thr": head_thr, "docid_offset": docid_offset,
             "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
         },
         "wall_s": time.time() - t_build0,

@@ -1,0 +1,65 @@
+"""Incremental (delta) index build — SURVEY §2.11 X6 / §2.4 J4.
+
+ES-parity continuous ingest: new crawl batches are indexed into a
+DELTA index containing only urls absent from the base index (left
+anti join on the base doclens — the resume/delta idiom), with docids
+offset past the base docid space so the two indexes are disjoint.
+Search runs over [base, delta, ...] via the multi-dir support in
+operators/search.py, which
+
+- sums per-term df across dirs (exact global idf),
+- combines N/avgdl from the stats files,
+- recomputes exact per-posting partials with the combined avgdl, and
+- rescales stored WAND block bounds by max(1, avgdl_comb/avgdl_dir)
+  — safe because tf/(tf + k1(1-b) + k1·b·dl/A) is increasing in A:
+  den(A_comb) ≥ den(A_dir)·A_dir/A_comb, so
+  partial(A_comb) ≤ partial(A_dir)·A_comb/A_dir.
+
+A delta'd corpus therefore returns EXACTLY the results of a monolithic
+rebuild over base∪delta pages (asserted in tests/test_incremental.py),
+modulo one deliberate difference: docids. A monolithic rebuild assigns
+dense ranks over ALL urls; the delta assigns base docids + offset
+ranks over new urls. Scores are docid-independent, so rank-identity is
+checked via urls.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import IndexPaths, build_index
+from .search import load_stats
+
+
+def new_pages_only(spark: SparkSession, pages: DataFrame, base_dirs: list[str]) -> DataFrame:
+    """J4: pages whose url is not in any base index (left anti join)."""
+    out = pages
+    for d in base_dirs:
+        done = spark.read.parquet(IndexPaths(d).doclens).select("url")
+        out = out.join(done, "url", "left_anti")
+    return out
+
+
+def build_delta(
+    spark: SparkSession,
+    pages: DataFrame,
+    base_dirs: list[str] | str,
+    delta_dir: str,
+    **build_kwargs,
+) -> dict:
+    """Build a delta index of the not-yet-indexed pages. Returns stats
+    (N may be 0 → no index is written and {} is returned)."""
+    base_dirs = [base_dirs] if isinstance(base_dirs, str) else list(base_dirs)
+    offset = sum(int(load_stats(d)["N"]) for d in base_dirs)
+    fresh = new_pages_only(spark, pages, base_dirs)
+    return build_index(spark, fresh, delta_dir, docid_offset=offset, **build_kwargs)
+
+
+def index_chain(base_dirs: list[str] | str, delta_dir: str | None = None) -> list[str]:
+    dirs = [base_dirs] if isinstance(base_dirs, str) else list(base_dirs)
+    if delta_dir and os.path.exists(IndexPaths(delta_dir).stats):
+        dirs.append(delta_dir)
+    return dirs

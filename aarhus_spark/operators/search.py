@@ -54,6 +54,27 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _as_dirs(index_dir) -> list[str]:
+    return [index_dir] if isinstance(index_dir, str) else list(index_dir)
+
+
+def load_stats_multi(dirs: list[str]) -> tuple[int, float, dict[str, float]]:
+    """Combined corpus stats over one or more index dirs (base + deltas):
+    N = ΣN_i, avgdl = Σ(avgdl_i·N_i)/N. Returns per-dir avgdl too — WAND
+    block bounds were computed with each dir's own avgdl and must be
+    rescaled by max(1, avgdl_comb/avgdl_dir) to stay safe upper bounds
+    (partial is increasing in avgdl; proof in operators/incremental.py).
+    """
+    n_total, sumdl, per_dir = 0, 0.0, {}
+    for d in dirs:
+        st = load_stats(d)
+        n_total += int(st["N"])
+        sumdl += float(st["avgdl"]) * int(st["N"])
+        per_dir[d] = float(st["avgdl"])
+    avgdl = sumdl / n_total if n_total else 0.0
+    return n_total, avgdl, per_dir
+
+
 # ---------------------------------------------------------------------------
 # Q1: query analysis (same frozen tokenizer as the build)
 # ---------------------------------------------------------------------------
@@ -77,12 +98,28 @@ def analyze_queries(queries: DataFrame) -> DataFrame:
 # Q3: candidate segment rows with term pushdown
 # ---------------------------------------------------------------------------
 
-def candidate_segments(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
+def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> DataFrame:
     """Parquet scan of segments restricted to the query terms — the
     ``isin`` predicate reaches the scan (PushedFilters) and skips row
-    groups via min/max + dictionary stats."""
-    seg = spark.read.parquet(IndexPaths(index_dir).segments)
-    return seg.filter(F.col("term").isin(terms))
+    groups via min/max + dictionary stats. Accepts one dir or a list
+    (base + delta indexes); each row carries its dir's build avgdl so
+    scorers can rescale block bounds."""
+    dirs = _as_dirs(index_dir)
+    _, _, per_dir = load_stats_multi(dirs)
+    out = None
+    for d in dirs:
+        seg = (spark.read.parquet(IndexPaths(d).segments)
+               .filter(F.col("term").isin(terms))
+               .withColumn("src_avgdl", F.lit(per_dir[d])))
+        out = seg if out is None else out.unionByName(seg)
+    return out
+
+
+def _global_df_map(seg: DataFrame) -> dict[str, int]:
+    """Global df per candidate term = Σ n over all chunk rows across all
+    index dirs (tiny: ≤ |query terms| rows collected)."""
+    return {r["term"]: r["df"] for r in
+            seg.groupBy("term").agg(F.sum("n").alias("df")).collect()}
 
 
 def _collect_terms(qterms: DataFrame) -> list[str]:
@@ -102,13 +139,13 @@ def search_taat(
     """Distributed top-k. Returns (query_id, rank, docid, score)."""
     from pyspark.sql.window import Window
 
-    stats = load_stats(index_dir)
-    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    n_docs, avgdl, _ = load_stats_multi(_as_dirs(index_dir))
     qterms = analyze_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
+    dfg = _global_df_map(seg)   # tiny; closure-captured below
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..scoring import partial as _partial
@@ -124,12 +161,14 @@ def search_taat(
                 if not ds:
                     continue
                 docids = np.concatenate(ds)
-                w = _idf(float(row["df"]), n_docs)
+                w = _idf(float(dfg[row["term"]]), n_docs)
+                # exact: partial recomputed from (tf, dl) with the
+                # COMBINED avgdl — stored block bounds are not used here
                 contrib = w * _partial(np.concatenate(ts), np.concatenate(ls), avgdl)
                 yield pd.DataFrame({"term": row["term"], "docid": docids,
                                     "contrib": contrib})
 
-    decoded = seg.select("term", "df", "blocks", "postings").mapInPandas(
+    decoded = seg.select("term", "blocks", "postings").mapInPandas(
         decode, schema="term string, docid long, contrib double")
 
     scored = (
@@ -152,7 +191,8 @@ def search_taat(
 # Q5: block-max WAND (per-query, interval-at-a-time, exact)
 # ---------------------------------------------------------------------------
 
-def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int) -> pd.DataFrame:
+def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
+                    dfg: dict | None = None) -> pd.DataFrame:
     from ..scoring import partial as _partial
 
     qid = int(g["query_id"].iloc[0])
@@ -162,18 +202,27 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int) -> pd.Da
         term_rows.setdefault(row["term"], []).append(row)
     terms = sorted(term_rows)  # frozen summation order §1.3.4
 
-    # block table: (start, end, ub, term_idx, payload_ref, offset)
+    # block table: (start, end, ub, term_idx, payload_ref, offset).
+    # Rows from a delta/base mix are ordered by (src docid ranges are
+    # disjoint across dirs by construction — docid_offset). Block bounds
+    # stored at build time used that dir's avgdl; rescale by
+    # max(1, avgdl/src_avgdl) — a proven-safe upper bound (partial is
+    # increasing in avgdl; see load_stats_multi docstring).
     blocks = []
     idfs = {}
     for ti, t in enumerate(terms):
-        rows = sorted(term_rows[t], key=lambda r: int(r["chunk"]))
-        idfs[t] = _idf(float(rows[0]["df"]), n_docs)
+        rows = sorted(term_rows[t],
+                      key=lambda r: (int(r["__min_docid"]), int(r["chunk"])))
+        df_t = float(dfg[t]) if dfg is not None else float(rows[0]["df"])
+        idfs[t] = _idf(df_t, n_docs)
         prev_last = -1
         for row in rows:
             buf = np.frombuffer(row["postings"], dtype=np.uint8)
+            scale = max(1.0, avgdl / float(row["src_avgdl"])) if "src_avgdl" in row else 1.0
             for b in row["blocks"]:
                 blocks.append((prev_last + 1, int(b["last_docid"]),
-                               idfs[t] * float(b["max_partial"]), ti, buf, int(b["offset"])))
+                               idfs[t] * float(b["max_partial"]) * scale,
+                               ti, buf, int(b["offset"])))
                 prev_last = int(b["last_docid"])
 
     # elementary intervals at all block ends
@@ -246,16 +295,19 @@ def search_wand(
     group per query (ES-style shard fan-in happens inside the group —
     the gathered rows are already per-term encoded bytes, tiny relative
     to the corpus)."""
-    stats = load_stats(index_dir)
-    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"])
+    n_docs, avgdl, _ = load_stats_multi(_as_dirs(index_dir))
     qterms = analyze_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
+    dfg = _global_df_map(seg)
+    # rows of a term may come from several dirs with disjoint docid
+    # ranges; order them by first block docid for contiguous chaining
+    seg = seg.withColumn("__min_docid", F.element_at("blocks", 1)["last_docid"])
     seg_q = seg.join(F.broadcast(qterms), "term")
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
-        return _wand_one_query(g, n_docs, avgdl, k)
+        return _wand_one_query(g, n_docs, avgdl, k, dfg)
 
     return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)

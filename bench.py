@@ -22,6 +22,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# steady-state allocator behavior for python workers (inherited through
+# the JVM): never trim arenas back to the kernel — this sandbox
+# serializes first-touch page faults VM-wide (DESIGN.md §6)
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("AARHUS_DRIVER_MEM", "20g")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,8 +36,11 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from aarhus_spark.session import get_spark
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/aarhus_bench_shuffle"
     spark = get_spark("aarhus-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus, 8), extra=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     from aarhus_spark.operators.build import build_index
@@ -56,6 +66,21 @@ def main() -> None:
     extras["build_docs_per_sec"] = round(n_docs / timings["build_index"], 1)
     extras["n_docs"] = n_docs
     extras["n_terms"] = stats["n_terms"]
+
+    # q1b: index build over a realistic synthetic web corpus (5000-term
+    # vocab; the driver's documents table has a ~31-word vocabulary,
+    # which is pathological for throughput numbers) — 60k pages,
+    # steady-state (the sf0.1 build above acts as the JVM warmup)
+    from aarhus_spark.sources.fixtures import gen_pages_spark
+    synth_dir = "/tmp/aarhus_bench_synth_pages"
+    if not os.path.exists(os.path.join(synth_dir, "_SUCCESS")):
+        gen_pages_spark(spark, 60_000, partitions=2 * cpus) \
+            .write.mode("overwrite").parquet(synth_dir)
+    synth = spark.read.parquet(synth_dir)
+    idx2 = "/tmp/aarhus_bench_idx_synth"
+    shutil.rmtree(idx2, ignore_errors=True)
+    stats2 = timed("build_index_synth60k", lambda: build_index(spark, synth, idx2))
+    extras["synth_docs_per_sec"] = round(stats2["N"] / timings["build_index_synth60k"], 1)
 
     # flagship search query set: 50 queries over the built index
     qpdf = gen_queries(__import__("pandas").DataFrame())
