@@ -32,20 +32,22 @@ def normalize(rows, cols):
 def main():
     import duckdb
     from aarhus_spark.session import get_spark
-    from aarhus_spark import harness
+    from aarhus_spark.harness import TABLES
+    import __spark_entry__ as entry  # the REAL driver surface
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     spark = get_spark("check-harness", master="local[8]")
     con = duckdb.connect()
-    for t in harness.TABLES:
+    for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    queries, oracles = entry.queries(), entry.oracle_sql()
     n_pass = n_fail = 0
-    for name, fn in harness.QUERIES.items():
+    for name, fn in queries.items():
         if only and name not in only:
             continue
-        sql = harness.ORACLES.get(name)
+        sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
