@@ -192,9 +192,17 @@ def search_taat(
 # ---------------------------------------------------------------------------
 
 def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
-                    dfg: dict | None = None) -> pd.DataFrame:
+                    dfg: dict | None = None,
+                    range_lo: int = 0, range_hi: int | None = None) -> pd.DataFrame:
+    """When (range_lo, range_hi) restrict the docid space, only docs in
+    that range are scored (blocks outside are never decoded) — the
+    chunk-parallel mode of :func:`search_wand_ranges`. Exact within the
+    range: a doc's full term set is present in any group that contains
+    rows overlapping its docid."""
     from ..scoring import partial as _partial
 
+    if range_hi is None:
+        range_hi = np.iinfo(np.int64).max
     qid = int(g["query_id"].iloc[0])
     # term-level structures; chunks of the same term behave as extra blocks
     term_rows: dict[str, list] = {}
@@ -225,7 +233,14 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                                ti, buf, int(b["offset"])))
                 prev_last = int(b["last_docid"])
 
-    # elementary intervals at all block ends
+    # drop blocks wholly outside the docid range, then build
+    # elementary intervals at the surviving block ends
+    blocks = [b for b in blocks if b[1] >= range_lo and b[0] <= range_hi]
+    if not blocks:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int32"),
+                             "docid": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
     ends = np.unique(np.array([b[1] for b in blocks], dtype=np.int64))
     starts = np.concatenate(([0], ends[:-1] + 1))
     # upper bound per interval = sum of covering block bounds
@@ -247,7 +262,10 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     for iv in order:
         if len(heap) >= k and ubs[iv] < theta:
             break  # every remaining interval is strictly below the kth score
-        lo_d, hi_d = int(starts[iv]), int(ends[iv])
+        lo_d = max(int(starts[iv]), range_lo)
+        hi_d = min(int(ends[iv]), range_hi)
+        if lo_d > hi_d:
+            continue
         # gather contributions per term in sorted-term order
         per_term: list[tuple[np.ndarray, np.ndarray]] = []
         for bi in sorted(cover[iv], key=lambda b: blocks[b][3]):
@@ -311,3 +329,55 @@ def search_wand(
         return _wand_one_query(g, n_docs, avgdl, k, dfg)
 
     return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
+
+
+def search_wand_ranges(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_ranges: int = 8,
+) -> DataFrame:
+    """Chunk-parallel exact WAND — the 10^12-scale query path.
+
+    The docid space is cut into ``n_ranges`` fixed global ranges; each
+    (query, range) pair is an independent applyInPandas group running
+    range-restricted block-max WAND (a head term's chunk rows scatter
+    across groups, so no single task ever holds a full head posting
+    list), then per-range candidates are merged with the Q6 window
+    (candidates ≤ n_ranges·k per query). Exact: every doc's docid lies
+    in exactly one range and all its term rows whose docid span covers
+    it are present in that range's group.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs, avgdl, _ = load_stats_multi(_as_dirs(index_dir))
+    qterms = analyze_queries(queries)
+    terms = _collect_terms(qterms)
+    if not terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    seg = candidate_segments(spark, index_dir, terms)
+    dfg = _global_df_map(seg)
+    seg = seg.withColumn("__min_docid", F.element_at("blocks", 1)["last_docid"])
+    seg = seg.withColumn("__max_docid", F.element_at("blocks", -1)["last_docid"])
+    seg_q = seg.join(F.broadcast(qterms), "term")
+
+    width = max(1, (n_docs + n_ranges - 1) // n_ranges)
+    ranges = spark.createDataFrame(
+        [(r, r * width, (r + 1) * width - 1) for r in range(n_ranges)],
+        "rng int, lo long, hi long")
+    # a row joins every range its docid span can touch; rows whose span
+    # misses the range decode nothing (cheap) — exactness never depends
+    # on this pruning, only task size does
+    seg_r = seg_q.join(F.broadcast(ranges), F.col("__max_docid") >= F.col("lo"))
+
+    def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        return _wand_one_query(g, n_docs, avgdl, k, dfg,
+                               range_lo=int(g["lo"].iloc[0]),
+                               range_hi=int(g["hi"].iloc[0]))
+
+    cands = seg_r.groupBy("query_id", "rng").applyInPandas(run, RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))
