@@ -103,6 +103,24 @@ def q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_engine_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 chunk-parallel variant: same engine artifacts queried via
+    search_wand_ranges (per-(query, docid-range) groups + Q6 merge) —
+    shares the DuckDB oracle with bm25_topk_engine, so the driver
+    verifies both execution paths independently."""
+    from .operators.search import search_wand_ranges
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    res = search_wand_ranges(spark, idx, qdf, k=20, n_ranges=5)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("docid"))
+    return (
+        res.withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "docid", "score_r")
+    )
+
+
 def _bm25_oracle_sql(k: int = 10) -> str:
     vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in FLAGSHIP_QUERIES)
     return f"""
@@ -579,6 +597,7 @@ SELECT 'except' AS op, nk FROM
 
 QUERIES: dict[str, callable] = {
     "bm25_topk_engine": q_bm25_topk_engine,
+    "bm25_topk_engine_ranges": q_bm25_topk_engine_ranges,
     "bm25_brute_sql": q_bm25_brute_sql,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
@@ -601,6 +620,7 @@ QUERIES: dict[str, callable] = {
 
 ORACLES: dict[str, str] = {
     "bm25_topk_engine": _bm25_oracle_sql(),
+    "bm25_topk_engine_ranges": _bm25_oracle_sql(),
     "bm25_brute_sql": _BRUTE_DUCK_SQL,
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
