@@ -68,57 +68,81 @@ def _reg(spark: SparkSession, sf_dir: str, *names: str) -> None:
 _INDEX_CACHE: dict[str, str] = {}
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf_dir per process) the inverted index over the
-    documents table mapped to the pages shape."""
-    if sf_dir in _INDEX_CACHE:
-        return _INDEX_CACHE[sf_dir]
+def _build_config_tag() -> str:
+    """Short hash of every constant the index artifacts depend on, baked
+    into the cache path: changing BLOCK_SIZE (etc.) without a version
+    bump must invalidate a cached index even within one process."""
+    import hashlib
+
     from . import __version__
+    from .config import (BLOCK_SIZE, HEAD_DF_QUANTILE, MAX_POSTINGS_PER_ROW,
+                         MAX_TOKEN_LEN, SALTS)
+    raw = repr((__version__, BLOCK_SIZE, SALTS, HEAD_DF_QUANTILE,
+                MAX_POSTINGS_PER_ROW, MAX_TOKEN_LEN))
+    return hashlib.md5(raw.encode()).hexdigest()[:10]
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per build-config per process) the inverted
+    index over the documents table mapped to the pages shape."""
+    key = _build_config_tag() + ":" + sf_dir
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     from .operators.build import build_index
     out = os.path.join(tempfile.gettempdir(),
-                       f"aarhus_idx_v{__version__}_" + sf_dir.strip("/").replace("/", "_"))
+                       f"aarhus_idx_{_build_config_tag()}_"
+                       + sf_dir.strip("/").replace("/", "_"))
     from .operators.build import IndexPaths
     if not (os.path.exists(IndexPaths(out).stats)
             and os.path.exists(os.path.join(IndexPaths(out).segments, "_SUCCESS"))):
         pages = pages_from_documents(spark, sf_dir)
         build_index(spark, pages, out)
-    _INDEX_CACHE[sf_dir] = out
+    _INDEX_CACHE[key] = out
     return out
 
 
-def q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 S1-S5, T1-T8, Q1-Q6: the complete engine, end to end.
-    Results re-ranked by rounded score so the DuckDB twin (which sums
-    FP in its own order) ranks identically."""
-    from .operators.search import search_wand
-    idx = _ensure_index(spark, sf_dir)
-    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
-    res = search_wand(spark, idx, qdf, k=20)
+def _rerank_rounded(res: DataFrame, k: int = 10) -> DataFrame:
+    """Re-rank by rounded score so the DuckDB twin (which sums FP in its
+    own order) ranks identically."""
     w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("docid"))
     return (
         res.withColumn("score_r", F.round("score", 6))
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score_r")
     )
+
+
+def q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 S1-S5, T1-T8, Q1-Q6: the complete engine, end to end,
+    through the DEFAULT query path — chunk-parallel WAND over docid
+    ranges (search_topk with a forced fan-out; at sf0.01 the auto
+    heuristic would collapse to one range, which q_bm25_topk_engine_single
+    covers separately)."""
+    from .operators.search import search_topk
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    return _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=5))
 
 
 def q_bm25_topk_engine_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 chunk-parallel variant: same engine artifacts queried via
-    search_wand_ranges (per-(query, docid-range) groups + Q6 merge) —
-    shares the DuckDB oracle with bm25_topk_engine, so the driver
-    verifies both execution paths independently."""
+    """Q5 chunk-parallel path at a different fan-out (3 ranges) — shares
+    the DuckDB oracle with bm25_topk_engine, so the driver verifies that
+    results are fan-out-invariant."""
     from .operators.search import search_wand_ranges
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
-    res = search_wand_ranges(spark, idx, qdf, k=20, n_ranges=5)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("docid"))
-    return (
-        res.withColumn("score_r", F.round("score", 6))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "rank", "docid", "score_r")
-    )
+    return _rerank_rounded(search_wand_ranges(spark, idx, qdf, k=20, n_ranges=3))
+
+
+def q_bm25_topk_engine_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 single-group WAND — the small-index fast path search_topk
+    falls back to when one range suffices; driver-verified against the
+    same oracle as the chunk-parallel entries."""
+    from .operators.search import search_wand
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    return _rerank_rounded(search_wand(spark, idx, qdf, k=20))
 
 
 def _bm25_oracle_sql(k: int = 10) -> str:
@@ -598,6 +622,7 @@ SELECT 'except' AS op, nk FROM
 QUERIES: dict[str, callable] = {
     "bm25_topk_engine": q_bm25_topk_engine,
     "bm25_topk_engine_ranges": q_bm25_topk_engine_ranges,
+    "bm25_topk_engine_single": q_bm25_topk_engine_single,
     "bm25_brute_sql": q_bm25_brute_sql,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
@@ -621,6 +646,7 @@ QUERIES: dict[str, callable] = {
 ORACLES: dict[str, str] = {
     "bm25_topk_engine": _bm25_oracle_sql(),
     "bm25_topk_engine_ranges": _bm25_oracle_sql(),
+    "bm25_topk_engine_single": _bm25_oracle_sql(),
     "bm25_brute_sql": _BRUTE_DUCK_SQL,
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,

@@ -115,9 +115,13 @@ WITH base AS ({AUG_SQL_DUCK}),
   FROM sh GROUP BY doc_id
 ), bands AS (
   {bands}
+), small AS (
+  SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 64
+), bands2 AS (
+  SELECT b.doc_id, b.band, b.bh FROM bands b JOIN small s USING (band, bh)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands2 a JOIN bands2 b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
 {_JACCARD_TAIL_DUCK}
@@ -211,11 +215,13 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ANN_LSH_BUCKET = f"""
-WITH anchors AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id IN (0,1,2,3)),
+WITH anchors AS (SELECT vec_id AS aid, embedding AS av,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS bitpos
+                 FROM embeddings WHERE vec_id IN (0,1,2,3)),
 bits AS (
   SELECT a.vec_id,
          CAST(sum(CASE WHEN list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(x.av AS DOUBLE[])) > 0
-                  THEN CAST(pow(2, x.aid % 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                  THEN CAST(pow(2, x.bitpos) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
   FROM embeddings a CROSS JOIN anchors x GROUP BY a.vec_id
 ), b AS (
   SELECT e.vec_id, e.embedding, bits.bucket FROM embeddings e JOIN bits ON e.vec_id = bits.vec_id

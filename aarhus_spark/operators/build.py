@@ -126,6 +126,36 @@ class IndexPaths:
     def manifests(self) -> str: return os.path.join(self.root, "manifests")
     @property
     def metrics(self) -> str: return os.path.join(self.root, "metrics.jsonl")
+    @property
+    def build_config(self) -> str: return os.path.join(self.root, "build_config.json")
+
+
+# ---------------------------------------------------------------------------
+# S3/S5 commit protocol seam (pluggable per storage backend)
+# ---------------------------------------------------------------------------
+
+class FragmentCommitter:
+    """Publishes a task-written fragment file or manifest so that resume
+    (and concurrent readers) see either the complete object or nothing.
+
+    The default POSIX implementation relies on atomic rename, which
+    exists on local disks and HDFS-like mounts but NOT on S3-style
+    object stores. For object stores, implement this seam with a
+    manifest-commit protocol instead: upload the data object under its
+    final unique name (uploads are already all-or-nothing), then publish
+    the small manifest JSON last — the manifest IS the commit marker, and
+    resume only trusts buckets whose manifest exists (DESIGN.md §S3).
+    """
+
+    def publish(self, tmp: str, dst: str) -> None:
+        raise NotImplementedError
+
+
+class PosixRenameCommitter(FragmentCommitter):
+    """Atomic-rename commit: correct on POSIX filesystems and HDFS."""
+
+    def publish(self, tmp: str, dst: str) -> None:
+        os.replace(tmp, dst)
 
 
 # ---------------------------------------------------------------------------
@@ -205,12 +235,16 @@ def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
             pdf = pdf[pdf["text"].notna() & (pdf["text"].str.len() > 0)]  # P3
             if len(pdf):
                 # T2 inline: dl = |T(text)| computed here so doclens and
-                # corpus stats never need a pass over the token stream
+                # corpus stats never need a pass over the token stream.
+                # warc_ts of the WINNER rides along → doclens records the
+                # max warc_ts per url, which incremental re-crawl
+                # detection needs (operators/incremental.py)
                 dl = tokenize_series(pdf["text"]).map(len)
-                yield pdf[["url", "text"]].assign(dl=dl.astype("int64"))
+                yield pdf[["url", "text", "warc_ts"]].assign(dl=dl.astype("int64"))
 
     deduped = (
-        rp.mapInPandas(dedup_extract, schema="url string, text string, dl long")
+        rp.mapInPandas(dedup_extract,
+                       schema="url string, text string, warc_ts timestamp, dl long")
         .withColumn("pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -230,9 +264,10 @@ def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
             off = b_offsets.value[int(pdf["pid"].iloc[0])]
             pdf = pdf.assign(docid=np.arange(local, local + len(pdf), dtype=np.int64) + off)
             local += len(pdf)
-            yield pdf[["docid", "url", "text", "dl"]]
+            yield pdf[["docid", "url", "text", "warc_ts", "dl"]]
 
-    out = deduped.mapInPandas(assign, schema="docid long, url string, text string, dl long")
+    out = deduped.mapInPandas(
+        assign, schema="docid long, url string, text string, warc_ts timestamp, dl long")
     return out, acc
 
 
@@ -350,7 +385,8 @@ def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
 
 def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
                            head_terms: list[str], n_docs: int, salts: int,
-                           docid_offset: int):
+                           docid_offset: int,
+                           committer: FragmentCommitter | None = None):
     """mapInPandas fn over partitions sorted by (term, docid).
 
     Encodes one blocked-VByte fragment per (term, salt) run — carrying
@@ -375,7 +411,15 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
             self.pending: list[dict] = []
             self.writer: pq.ParquetWriter | None = None
             self.dir = os.path.join(fragments_dir, f"bucket={bucket}")
-            self.tmp = os.path.join(self.dir, ".part-0.parquet.tmp")
+            # tmp name carries the task ATTEMPT id: with speculative
+            # execution or a zombie attempt, two attempts of the same
+            # partition must never interleave writes into one file —
+            # each publishes its own complete tmp via the committer
+            from pyspark import TaskContext
+            tc = TaskContext.get()
+            att = tc.taskAttemptId() if tc is not None else 0
+            self.tmp = os.path.join(self.dir, f".part-0.parquet.tmp-{att}")
+            self.man_tmp = os.path.join(manifests_dir, f".bucket-{bucket}.tmp-{att}")
 
         def add(self, r: dict) -> None:
             self.postings += r["n"]
@@ -398,20 +442,22 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
             self._write()
             if self.writer is not None:
                 self.writer.close()
-                os.replace(self.tmp, os.path.join(self.dir, "part-0.parquet"))
+                # data object first, manifest (= commit marker) LAST:
+                # resume only trusts buckets whose manifest exists
+                _commit.publish(self.tmp, os.path.join(self.dir, "part-0.parquet"))
             wall = time.time() - self.t0
             man = {"bucket": self.bucket, "rows": self.rows_in,
                    "postings": self.postings, "fragments": self.frag_rows,
                    "tokens_per_sec": self.rows_in / wall if wall > 0 else None,
                    "wall_s": wall}
-            tmp = os.path.join(manifests_dir, f".bucket-{self.bucket}.tmp")
             dst = os.path.join(manifests_dir, f"bucket-{self.bucket}.json")
-            with open(tmp, "w") as f:
+            with open(self.man_tmp, "w") as f:
                 json.dump(man, f)
-            os.replace(tmp, dst)  # atomic rename: idempotent under task retry
+            _commit.publish(self.man_tmp, dst)  # idempotent under task retry
             return man
 
     head_set = frozenset(head_terms)
+    _commit = committer or PosixRenameCommitter()
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -529,6 +575,7 @@ def build_index(
     max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
     resume: bool = False,
     docid_offset: int = 0,
+    committer: FragmentCommitter | None = None,
 ) -> dict:
     """Run the full build; returns the stats dict (also written to
     stats.json). ``resume=True`` recomputes only fragment buckets whose
@@ -544,6 +591,23 @@ def build_index(
     def stage(name: str, t0: float, **kw) -> None:
         metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
 
+    # --- resume guard: refuse a resume whose config differs from the
+    #     (possibly interrupted) original run — mixing two bucket-id /
+    #     salt / codec spaces silently corrupts the index ---
+    cfg = {"n_buckets": n_buckets, "salts": salts, "docid_offset": docid_offset,
+           "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
+           "head_df_quantile": head_df_quantile}
+    if resume and os.path.exists(paths.build_config):
+        with open(paths.build_config) as f:
+            stored = json.load(f)
+        if stored != cfg:
+            diff = {k: (stored.get(k), cfg[k]) for k in cfg if stored.get(k) != cfg[k]}
+            raise ValueError(
+                f"resume=True with a different build config than the original "
+                f"run (stored vs current): {diff}. Resuming would mix incompatible "
+                f"bucket-id spaces; rerun with the original config or rebuild "
+                f"without resume.")
+
     if resume and os.path.exists(paths.stats) and _dir_complete(paths.segments):
         with open(paths.stats) as f:
             return json.load(f)
@@ -556,8 +620,14 @@ def build_index(
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     agg = docs.agg(F.sum("dl").alias("sumdl")).collect()[0]
     avgdl = float(agg["sumdl"] or 0) / n_docs if n_docs else 0.0
-    docs.select("docid", "url", "dl").write.mode("overwrite").parquet(paths.doclens)
+    docs.select("docid", "url", "dl", "warc_ts").write.mode("overwrite").parquet(paths.doclens)
     stage("prepare+docids+doclens", t0, n_docs=n_docs, avgdl=avgdl)
+
+    # --- persist the build config BEFORE the fragment stage (validated
+    #     against it on resume — see the guard at the top) ---
+    if not (resume and os.path.exists(paths.build_config)):
+        with open(paths.build_config, "w") as f:
+            json.dump(cfg, f)
 
     # --- T5 head-term detection on a SAMPLE (one small python pass; the
     #     full token stream is touched exactly once, in the fragment job).
@@ -605,7 +675,8 @@ def build_index(
             salted.repartition(n_buckets, "bucket")
             .sortWithinPartitions("bucket", "term", "docid")
             .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests,
-                                                head_terms, n_docs, salts, docid_offset),
+                                                head_terms, n_docs, salts, docid_offset,
+                                                committer=committer),
                          schema=FRAGMENT_SUMMARY_SCHEMA)
         ).collect()  # tiny: one row per bucket; forces execution
     else:

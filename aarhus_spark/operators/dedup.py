@@ -64,9 +64,19 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
+                        max_bucket: int = 64) -> DataFrame:
     """Band the signature (rows of band_size hashes), hash each band,
-    self-join on (band, band_hash) -> distinct candidate (doc_a, doc_b)."""
+    self-join on (band, band_hash) -> distinct candidate (doc_a, doc_b).
+
+    Degenerate-bucket cap: a band bucket holding f docs generates
+    O(f²) pairs inside ONE join key — mass-duplicated boilerplate (or a
+    tiny vocabulary) can put millions of docs in one bucket and melt a
+    single task at web scale. Buckets with > max_bucket docs are dropped
+    from candidate generation entirely (deterministic; mirrored in the
+    DuckDB oracle twin). Near-dup clusters that large are still caught:
+    every pair also collides in its other n_bands-1 buckets, and truly
+    identical docs belong in exact_duplicates' hash-groupBy anyway."""
     n_bands = n_hashes // band_size
     bands = None
     for b in range(n_bands):
@@ -75,6 +85,9 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2) -
         piece = sig.select(
             "doc_id", F.lit(b).alias("band"), F.expr(_h(f"({cols})")).alias("bh"))
         bands = piece if bands is None else bands.unionByName(piece)
+    small = (bands.groupBy("band", "bh").agg(F.count("*").alias("f"))
+             .filter(F.col("f") <= max_bucket).select("band", "bh"))
+    bands = bands.join(small, ["band", "bh"], "left_semi")
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (
@@ -108,12 +121,13 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
 
 
 def minhash_lsh_dedup(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5, max_bucket: int = 64) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands →
-    candidate join → exact Jaccard verify ≥ threshold."""
+    candidate join (degenerate buckets > max_bucket dropped) → exact
+    Jaccard verify ≥ threshold."""
     sh = shingles(df)
     sig = minhash_signatures(sh, n_hashes)
-    cand = lsh_candidate_pairs(sig, n_hashes, band_size)
+    cand = lsh_candidate_pairs(sig, n_hashes, band_size, max_bucket)
     return jaccard_verify(cand, sh, threshold)
 
 

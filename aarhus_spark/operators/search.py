@@ -26,6 +26,12 @@ Q1→Q5 ``search_wand`` — per-query block-max pruning. Each query's
 
 Q7 ``brute_force_scorer_sql`` — the SQL-expressible twin used by the
   harness (DuckDB oracle): explode-tokenize → term stats → fold.
+
+``search_topk`` is the DEFAULT entry point: it sizes the chunk-parallel
+fan-out from the index stats (``default_n_ranges``) and routes to
+``search_wand_ranges`` — falling back to the single-group ``search_wand``
+only when one range suffices (small indexes), where the extra merge
+stage would be pure overhead.
 """
 
 from __future__ import annotations
@@ -75,6 +81,28 @@ def load_stats_multi(dirs: list[str]) -> tuple[int, float, dict[str, float]]:
     return n_total, avgdl, per_dir
 
 
+def docid_domain(dirs: list[str]) -> tuple[int, int]:
+    """Inclusive [lo, hi] docid domain over the index dirs, from each
+    dir's persisted build_config (docid_offset + N). Docids are dense in
+    [offset, offset+N) per dir by construction (dense url-rank + offset,
+    build.py), so this is exact — and unlike ``[0, ΣN)`` it stays correct
+    for a delta index queried on its own, whose docids all sit at
+    offset ≥ N_base (they would otherwise fall outside every range and
+    silently return empty results)."""
+    lo, hi = None, None
+    for d in dirs:
+        st = load_stats(d)
+        n = int(st["N"])
+        if n == 0:
+            continue
+        off = int(st.get("build_config", {}).get("docid_offset", 0))
+        lo = off if lo is None else min(lo, off)
+        hi = off + n - 1 if hi is None else max(hi, off + n - 1)
+    if lo is None:
+        return 0, -1
+    return lo, hi
+
+
 # ---------------------------------------------------------------------------
 # Q1: query analysis (same frozen tokenizer as the build)
 # ---------------------------------------------------------------------------
@@ -115,11 +143,19 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
     return out
 
 
-def _global_df_map(seg: DataFrame) -> dict[str, int]:
-    """Global df per candidate term = Σ n over all chunk rows across all
-    index dirs (tiny: ≤ |query terms| rows collected)."""
-    return {r["term"]: r["df"] for r in
-            seg.groupBy("term").agg(F.sum("n").alias("df")).collect()}
+def _global_df_map(spark: SparkSession, index_dir, terms: list[str]) -> dict[str, int]:
+    """Global df per candidate term = Σ df over the per-dir dictionaries
+    (tiny: ≤ |query terms| rows collected). Reads the dictionary parquet
+    with a pushed ``term IN`` filter instead of aggregating the segment
+    rows — the segments are then scanned exactly once, by the scorer."""
+    out: dict[str, int] = {}
+    for d in _as_dirs(index_dir):
+        rows = (spark.read.parquet(IndexPaths(d).dictionary)
+                .filter(F.col("term").isin(terms))
+                .select("term", "df").collect())
+        for r in rows:
+            out[r["term"]] = out.get(r["term"], 0) + int(r["df"])
+    return out
 
 
 def _collect_terms(qterms: DataFrame) -> list[str]:
@@ -145,27 +181,25 @@ def search_taat(
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(seg)   # tiny; closure-captured below
+    dfg = _global_df_map(spark, index_dir, terms)   # tiny; closure-captured
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..scoring import partial as _partial
         for pdf in batches:
-            for _, row in pdf.iterrows():  # few rows: one per (term, chunk)
-                payload = row["postings"]
-                offs = [b["offset"] for b in row["blocks"]]
-                ds, ts, ls = [], [], []
+            # few rows per batch (one per (term, chunk)); plain column
+            # zip — no pandas row materialization
+            for term, payload, blks in zip(pdf["term"], pdf["postings"], pdf["blocks"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)
-                for off in offs:
-                    d, t, l = decode_block(buf, int(off))
-                    ds.append(d); ts.append(t); ls.append(l)
-                if not ds:
+                parts = [decode_block(buf, int(b["offset"])) for b in blks]
+                if not parts:
                     continue
-                docids = np.concatenate(ds)
-                w = _idf(float(dfg[row["term"]]), n_docs)
+                docids = np.concatenate([p[0] for p in parts])
+                w = _idf(float(dfg[term]), n_docs)
                 # exact: partial recomputed from (tf, dl) with the
                 # COMBINED avgdl — stored block bounds are not used here
-                contrib = w * _partial(np.concatenate(ts), np.concatenate(ls), avgdl)
-                yield pd.DataFrame({"term": row["term"], "docid": docids,
+                contrib = w * _partial(np.concatenate([p[1] for p in parts]),
+                                       np.concatenate([p[2] for p in parts]), avgdl)
+                yield pd.DataFrame({"term": term, "docid": docids,
                                     "contrib": contrib})
 
     decoded = seg.select("term", "blocks", "postings").mapInPandas(
@@ -319,7 +353,7 @@ def search_wand(
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(seg)
+    dfg = _global_df_map(spark, index_dir, terms)
     # rows of a term may come from several dirs with disjoint docid
     # ranges; order them by first block docid for contiguous chaining
     seg = seg.withColumn("__min_docid", F.element_at("blocks", 1)["last_docid"])
@@ -329,6 +363,32 @@ def search_wand(
         return _wand_one_query(g, n_docs, avgdl, k, dfg)
 
     return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
+
+
+def default_n_ranges(n_docs: int, target_docs_per_range: int = 1 << 22) -> int:
+    """Size the chunk-parallel fan-out from corpus stats: ~4M docs per
+    range keeps a range's decoded slice of a head posting list (≤ range
+    width postings/term) comfortably inside one task's memory at any
+    corpus size, capped at 512 groups per query."""
+    return max(1, min(512, -(-n_docs // target_docs_per_range)))
+
+
+def search_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """THE default query path. Derives the chunk-parallel fan-out from
+    the index stats and dispatches: one range → single-group WAND (small
+    index fast path, no merge stage); otherwise chunk-parallel WAND over
+    docid ranges (no task ever holds a full head posting list)."""
+    n_docs, _, _ = load_stats_multi(_as_dirs(index_dir))
+    nr = n_ranges if n_ranges is not None else default_n_ranges(n_docs)
+    if nr <= 1:
+        return search_wand(spark, index_dir, queries, k=k)
+    return search_wand_ranges(spark, index_dir, queries, k=k, n_ranges=nr)
 
 
 def search_wand_ranges(
@@ -357,14 +417,21 @@ def search_wand_ranges(
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(seg)
+    dfg = _global_df_map(spark, index_dir, terms)
     seg = seg.withColumn("__min_docid", F.element_at("blocks", 1)["last_docid"])
     seg = seg.withColumn("__max_docid", F.element_at("blocks", -1)["last_docid"])
     seg_q = seg.join(F.broadcast(qterms), "term")
 
-    width = max(1, (n_docs + n_ranges - 1) // n_ranges)
+    # range bounds from the ACTUAL docid domain (per-dir docid_offset +
+    # N), not [0, n_docs): a delta index queried alone has all docids
+    # ≥ its offset, which [0, n_docs) would silently miss entirely
+    dom_lo, dom_hi = docid_domain(_as_dirs(index_dir))
+    if dom_hi < dom_lo:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    width = max(1, (dom_hi - dom_lo + 1 + n_ranges - 1) // n_ranges)
     ranges = spark.createDataFrame(
-        [(r, r * width, (r + 1) * width - 1) for r in range(n_ranges)],
+        [(r, dom_lo + r * width, dom_lo + (r + 1) * width - 1)
+         for r in range(n_ranges)],
         "rng int, lo long, hi long")
     # a row joins every range its docid span can touch; rows whose span
     # misses the range decode nothing (cheap) — exactness never depends

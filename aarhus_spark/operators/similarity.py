@@ -55,15 +55,25 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
 
 def sign_lsh_buckets(emb: DataFrame, anchor_ids: list[int]) -> DataFrame:
     """Assign each vector a bucket = sign bits of its dot products with
-    the anchor vectors. Returns (vec_id, embedding, bucket)."""
+    the anchor vectors. Returns (vec_id, embedding, bucket).
+
+    Each anchor's bit position is its DENSE RANK among the anchors (its
+    index in sorted(anchor_ids)) — never a function of the raw id: an
+    ``aid % 32`` scheme silently aliases two anchors onto one bit as
+    soon as ids collide mod 32, corrupting every bucket."""
+    if len(anchor_ids) > 62:
+        raise ValueError("sign-LSH bucket is a single BIGINT: ≤ 62 anchors")
+    bitpos = {aid: i for i, aid in enumerate(sorted(set(anchor_ids)))}
+    pos_map = F.create_map(
+        *[F.lit(v) for aid_i in bitpos.items() for v in aid_i])
     anchors = (emb.filter(F.col("vec_id").isin(anchor_ids))
-               .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av")))
+               .select(F.col("vec_id").alias("aid"), F.col("embedding").alias("av"))
+               .withColumn("bitpos", pos_map[F.col("aid")].cast("int")))
     bits = (
         emb.crossJoin(F.broadcast(anchors))
         .withColumn("bit", F.when(_dot("embedding", "av") > 0, 1).otherwise(0))
         .groupBy("vec_id")
-        .agg(F.sum(F.expr(
-            "bit * CAST(pow(2, CAST(aid AS INT) % 32) AS BIGINT)")).alias("bucket"))
+        .agg(F.sum(F.expr("bit * shiftleft(CAST(1 AS BIGINT), bitpos)")).alias("bucket"))
     )
     return emb.join(bits, "vec_id")
 
@@ -90,10 +100,17 @@ def cosine_topk_lsh(emb: DataFrame, query_ids: list[int],
     )
 
 
-def embedding_near_dup_pairs(emb: DataFrame, max_vec_id: int, top_n: int = 20) -> DataFrame:
+def embedding_near_dup_pairs(emb: DataFrame, max_vec_id: int, top_n: int = 20,
+                             n_groups: int = 32) -> DataFrame:
     """Embedding-cosine near-duplicate detection: top-N most-similar
     pairs among vec_id < max_vec_id (bounded all-pairs; at scale the
-    LSH bucketing above generates candidates instead)."""
+    LSH bucketing above generates candidates instead).
+
+    Top-N is two-stage so no unbounded single-partition sort exists:
+    per-group top-N under a PARTITIONED window (group = va mod
+    n_groups), then a global re-rank over ≤ n_groups·top_n survivors —
+    the Q6 merge shape. Result identical to a global window (any pair
+    in the global top-N is in its group's top-N)."""
     e = emb.filter(F.col("vec_id") < max_vec_id)
     a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
@@ -102,9 +119,13 @@ def embedding_near_dup_pairs(emb: DataFrame, max_vec_id: int, top_n: int = 20) -
         .withColumn("cos_r", F.round(
             _dot("ea", "eb") / (_norm("ea") * _norm("eb")), 6))
     )
-    w = Window.orderBy(F.desc("cos_r"), F.asc("va"), F.asc("vb"))
+    order = (F.desc("cos_r"), F.asc("va"), F.asc("vb"))
+    w_local = Window.partitionBy(F.pmod(F.col("va"), F.lit(n_groups))).orderBy(*order)
+    local = (pairs.withColumn("r_local", F.row_number().over(w_local))
+             .filter(F.col("r_local") <= top_n))
+    w_global = Window.orderBy(*order)  # ≤ n_groups·top_n rows: tiny merge
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w_global).cast("long"))
         .filter(F.col("rank") <= top_n)
         .select("rank", "va", "vb", "cos_r")
     )

@@ -43,12 +43,18 @@ def build(rows: list[dict]) -> OracleIndex:
     E(html) when text is null, lexicographic dense docids.
     """
     # dedup by url: keep max warc_ts; ties broken by max text — fully
-    # deterministic under any row order / partitioning (§1.3.3)
+    # deterministic under any row order / partitioning (§1.3.3).
+    # NULL text sorts strictly BELOW every string including '' —
+    # mirroring the engine's desc_nulls_last exactly (build.py), so at a
+    # warc_ts tie between text='' and text=NULL both engines keep ''.
+    def _key(r: dict) -> tuple:
+        t = r.get("text")
+        return (r["warc_ts"], t is not None, t or "")
+
     best: dict[str, dict] = {}
     for r in rows:
         u = r["url"]
-        key = (r["warc_ts"], r.get("text") or "")
-        if u not in best or key > (best[u]["warc_ts"], best[u].get("text") or ""):
+        if u not in best or _key(r) > _key(best[u]):
             best[u] = r
     # filters (P2, P3) after text materialization
     docs: dict[str, str] = {}

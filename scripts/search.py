@@ -21,26 +21,33 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--queries", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges"], default="wand")
-    ap.add_argument("--ranges", type=int, default=8,
-                    help="docid ranges for --mode wand-ranges (chunk-parallel)")
+    ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges", "wand-single"],
+                    default="wand",
+                    help="wand = default dispatcher (chunk-parallel, fan-out "
+                         "auto-sized from index stats); wand-ranges forces the "
+                         "chunk-parallel path; wand-single forces one group/query")
+    ap.add_argument("--ranges", type=int, default=None,
+                    help="override the docid-range fan-out (default: from stats)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from aarhus_spark.operators.search import (
-        search_taat, search_wand, search_wand_ranges)
+        search_taat, search_topk, search_wand, search_wand_ranges)
     from aarhus_spark.session import get_spark
     from aarhus_spark.sources.io import read_queries
 
     spark = get_spark("aarhus-search", master=args.master)
     qdf = read_queries(spark, args.queries)
-    if args.mode == "wand-ranges":
+    if args.mode == "wand":
+        res = search_topk(spark, args.index, qdf, k=args.k, n_ranges=args.ranges)
+    elif args.mode == "wand-ranges":
         res = search_wand_ranges(spark, args.index, qdf, k=args.k,
-                                 n_ranges=args.ranges)
+                                 n_ranges=args.ranges or 8)
+    elif args.mode == "wand-single":
+        res = search_wand(spark, args.index, qdf, k=args.k)
     else:
-        fn = search_wand if args.mode == "wand" else search_taat
-        res = fn(spark, args.index, qdf, k=args.k)
+        res = search_taat(spark, args.index, qdf, k=args.k)
     if args.out:
         res.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.out)
     else:
