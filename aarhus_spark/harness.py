@@ -145,16 +145,16 @@ def q_bm25_topk_engine_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(search_wand(spark, idx, qdf, k=20))
 
 
-def _bm25_oracle_sql(k: int = 10) -> str:
-    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in FLAGSHIP_QUERIES)
-    return f"""
+# common DuckDB prefix: documents → pages shape → frozen prepare +
+# tokenize + stats CTEs (shared by the BM25 oracles and index_stats)
+_CORPUS_CTES_DUCK = f"""
 WITH pages AS (
   SELECT concat('https://testdata.local/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
          text, lang FROM documents
 ), en AS (
   SELECT url, text FROM pages WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 0
 ), ids AS (
-  SELECT row_number() OVER (ORDER BY url) - 1 AS docid, text FROM en
+  SELECT row_number() OVER (ORDER BY url) - 1 AS docid, url, text FROM en
 ), tok AS (
   SELECT docid, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term FROM ids
 ), tok2 AS (
@@ -167,7 +167,18 @@ WITH pages AS (
   SELECT CAST(count(*) AS BIGINT) AS n, avg(dl * 1.0) AS avgdl FROM dl
 ), dfs AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-), qraw AS (
+)"""
+
+
+def _bm25_oracle_sql(k: int = 10, by_url: bool = False) -> str:
+    """Full-corpus BM25 oracle. ``by_url=True`` keys results by url
+    (rank tiebreak on url) — the docid-independent form the incremental
+    base+delta entry compares against (docid SPACES differ by design
+    between a monolithic build and base+delta; scores don't)."""
+    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in FLAGSHIP_QUERIES)
+    key, tie = ("url", "url") if by_url else ("docid", "docid")
+    return f"""{_CORPUS_CTES_DUCK}
+, qraw AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, qtext
   FROM (VALUES {vals}) AS q(query_id, qtext)
 ), qterms AS (
@@ -184,13 +195,15 @@ WITH pages AS (
   JOIN dl USING (docid)
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.docid
+), keyed AS (
+  SELECT sc.query_id, i.docid, i.url, sc.score FROM scored sc JOIN ids i USING (docid)
 ), ranked AS (
-  SELECT query_id, docid, round(score, 6) AS score_r,
+  SELECT query_id, {key}, round(score, 6) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
-  FROM scored
+              ORDER BY round(score, 6) DESC, {tie}) AS BIGINT) AS rank
+  FROM keyed
 )
-SELECT query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
+SELECT query_id, rank, {key}, score_r FROM ranked WHERE rank <= {k}
 """
 
 
@@ -260,6 +273,82 @@ def q_bm25_brute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     window) — the SQL-expressible scorer twin."""
     _reg(spark, sf_dir, "documents")
     return spark.sql(_BRUTE_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# S4 stats sinks + X6 incremental, driver-checked
+# ---------------------------------------------------------------------------
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/T3/T4: corpus stats recomputed FROM the index artifacts
+    (doclens + dictionary parquet sinks) and checked against a DuckDB
+    recomputation from the raw documents — verifies N, avgdl and the
+    term-dictionary cardinality the scorers depend on."""
+    from .operators.build import IndexPaths
+    idx = _ensure_index(spark, sf_dir)
+    p = IndexPaths(idx)
+    stats = (spark.read.parquet(p.doclens)
+             .agg(F.count("*").alias("n_docs"),
+                  F.round(F.avg("dl"), 6).alias("avgdl_r")))
+    n_terms = spark.read.parquet(p.dictionary).agg(F.count("*").alias("n_terms"))
+    return stats.crossJoin(n_terms)
+
+
+SQL_INDEX_STATS = f"""{_CORPUS_CTES_DUCK}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_docs,
+       (SELECT round(avg(coalesce(d.dl, 0) * 1.0), 6)
+        FROM ids i LEFT JOIN dl d USING (docid)) AS avgdl_r,
+       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tok2) AS n_terms
+"""
+
+
+def _ensure_incremental(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Base index over the even-doc_id half of the corpus + delta index
+    over the rest (built once per config per sf_dir)."""
+    from .operators.build import IndexPaths, build_index
+    from .operators.incremental import build_delta
+    tag = _build_config_tag()
+    slug = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"aarhus_inc_base_{tag}_{slug}")
+    delta = os.path.join(tempfile.gettempdir(), f"aarhus_inc_delta_{tag}_{slug}")
+
+    def _done(d: str) -> bool:
+        return (os.path.exists(IndexPaths(d).stats)
+                and os.path.exists(os.path.join(IndexPaths(d).segments, "_SUCCESS")))
+
+    pages = pages_from_documents(spark, sf_dir)
+    if not _done(base):
+        # urls end in the doc_id: last digit even == even doc_id
+        even = pages.filter(F.substring("url", -1, 1).isin(*"02468"))
+        build_index(spark, even, base)
+    if not _done(delta):
+        build_delta(spark, pages, base, delta)
+    return [base, delta]
+
+
+def q_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: BM25 over a base+delta index CHAIN must equal a monolithic
+    full-corpus build (the DuckDB oracle) — url-keyed, since the two
+    docid-assignment schemes differ by design (incremental.py). Runs
+    the chunk-parallel path over the chain, which also exercises the
+    multi-dir docid-domain range derivation."""
+    from .operators.build import IndexPaths
+    from .operators.search import search_topk
+    dirs = _ensure_incremental(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    res = search_topk(spark, dirs, qdf, k=20, n_ranges=4)
+    url_of = None
+    for d in dirs:
+        dl = spark.read.parquet(IndexPaths(d).doclens).select("docid", "url")
+        url_of = dl if url_of is None else url_of.unionByName(dl)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("url"))
+    return (
+        res.join(url_of, "docid")
+        .withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "url", "score_r")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -624,6 +713,8 @@ QUERIES: dict[str, callable] = {
     "bm25_topk_engine_ranges": q_bm25_topk_engine_ranges,
     "bm25_topk_engine_single": q_bm25_topk_engine_single,
     "bm25_brute_sql": q_bm25_brute_sql,
+    "index_stats": q_index_stats,
+    "incremental_delta": q_incremental_delta,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "join_broadcast": q_join_broadcast,
@@ -648,6 +739,8 @@ ORACLES: dict[str, str] = {
     "bm25_topk_engine_ranges": _bm25_oracle_sql(),
     "bm25_topk_engine_single": _bm25_oracle_sql(),
     "bm25_brute_sql": _BRUTE_DUCK_SQL,
+    "index_stats": SQL_INDEX_STATS,
+    "incremental_delta": _bm25_oracle_sql(by_url=True),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
     "join_broadcast": SQL_JOIN_BROADCAST,
