@@ -17,8 +17,11 @@ Pipeline (one ``build_index`` call):
             fragments via mapInPandas (numpy codec, no per-row Python)
   → S3+S5   fragments written partitionBy(bucket) with one manifest
             JSON per bucket — the checkpoint/resume unit
-  → T7      merge: tail fragments pass through columnar; head (salted)
-            fragments k-way merged per term via applyInPandas
+  → T7      merge: HEAD (salted) fragments k-way merged per term via
+            applyInPandas into the segments/ overlay; tail fragments
+            are already final segment rows and are served straight
+            from fragments/ at query time (layered store — no
+            full-corpus rewrite)
   → S4+S6   doclens/stats/metrics sinks.
 
 Resumability (BASELINE.json north rule): fragment buckets are
@@ -248,8 +251,12 @@ def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
         .withColumn("pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r["pid"]: r["cnt"] for r in
-              deduped.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    # ONE pass collects both the per-partition counts (docid offsets)
+    # and Σdl (corpus avgdl) — no separate full-corpus agg job
+    rows = deduped.groupBy("pid").agg(
+        F.count("*").alias("cnt"), F.sum("dl").alias("sumdl")).collect()
+    counts = {r["pid"]: r["cnt"] for r in rows}
+    sumdl = sum(int(r["sumdl"] or 0) for r in rows)
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc + docid_offset
@@ -268,7 +275,7 @@ def prepare_and_assign_docids(spark: SparkSession, pages: DataFrame,
 
     out = deduped.mapInPandas(
         assign, schema="docid long, url string, text string, warc_ts timestamp, dl long")
-    return out, acc
+    return out, acc, sumdl
 
 
 def assign_docids(spark: SparkSession, prepared: DataFrame, n_partitions: int) -> DataFrame:
@@ -432,7 +439,8 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
                 return
             if self.writer is None:
                 os.makedirs(self.dir, exist_ok=True)
-                self.writer = pq.ParquetWriter(self.tmp, FRAG_PA_SCHEMA, compression="zstd")
+                codec = os.environ.get("AARHUS_FRAG_CODEC", "zstd")
+                self.writer = pq.ParquetWriter(self.tmp, FRAG_PA_SCHEMA, compression=codec)
             cols = {k: [r[k] for r in self.pending] for k in FRAG_PA_SCHEMA.names}
             self.writer.write_table(pa.table(cols, schema=FRAG_PA_SCHEMA))
             self.frag_rows += len(self.pending)
@@ -591,9 +599,15 @@ def build_index(
     def stage(name: str, t0: float, **kw) -> None:
         metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
 
-    # --- resume guard: refuse a resume whose config differs from the
-    #     (possibly interrupted) original run — mixing two bucket-id /
-    #     salt / codec spaces silently corrupts the index ---
+    # completed build: resume is a no-op whatever config was requested
+    # (config changes only the physical layout, not the logical index)
+    if resume and os.path.exists(paths.stats) and _dir_complete(paths.segments):
+        with open(paths.stats) as f:
+            return json.load(f)
+
+    # --- resume guard: refuse to CONTINUE an interrupted run under a
+    #     different config — mixing two bucket-id / salt / codec spaces
+    #     silently corrupts the index ---
     cfg = {"n_buckets": n_buckets, "salts": salts, "docid_offset": docid_offset,
            "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
            "head_df_quantile": head_df_quantile}
@@ -608,18 +622,13 @@ def build_index(
                 f"bucket-id spaces; rerun with the original config or rebuild "
                 f"without resume.")
 
-    if resume and os.path.exists(paths.stats) and _dir_complete(paths.segments):
-        with open(paths.stats) as f:
-            return json.load(f)
-
     # --- P1-P5 + T2 + T8 (fused: one url range-shuffle, one Python pass;
     #     dl computed inline so no pass over the token stream is needed
     #     for doclens/corpus stats) ---
     t0 = time.time()
-    docs, n_docs = prepare_and_assign_docids(spark, pages, n_partitions, docid_offset)
+    docs, n_docs, sumdl = prepare_and_assign_docids(spark, pages, n_partitions, docid_offset)
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    agg = docs.agg(F.sum("dl").alias("sumdl")).collect()[0]
-    avgdl = float(agg["sumdl"] or 0) / n_docs if n_docs else 0.0
+    avgdl = float(sumdl) / n_docs if n_docs else 0.0
     docs.select("docid", "url", "dl", "warc_ts").write.mode("overwrite").parquet(paths.doclens)
     stage("prepare+docids+doclens", t0, n_docs=n_docs, avgdl=avgdl)
 
@@ -640,7 +649,11 @@ def build_index(
             heads_meta = json.load(f)
         head_terms, head_thr = heads_meta["terms"], heads_meta["thr"]
     else:
-        target = 50_000
+        # 20k docs bounds the sample tokenize to a constant cost at any
+        # corpus size; the df-quantile threshold estimate is already
+        # stable well below this (head terms sit orders of magnitude
+        # above the 99.9th percentile)
+        target = 20_000
         frac = min(1.0, target / max(n_docs, 1))
         sample = docs if frac >= 1.0 else docs.sample(fraction=frac, seed=42)
         df_s = tokenize_docs(sample).groupBy("term").agg(F.count("*").alias("df"))
@@ -684,7 +697,14 @@ def build_index(
     stage("fragments", t0, n_buckets=n_buckets, resumed_buckets=len(done),
           built_buckets=len(summary))
 
-    # --- T7 merge → segments ---
+    # --- T7 merge → segments (HEAD/oversized terms only) ---
+    # Tail fragments (one unsalted row per term, already ≤ one chunk)
+    # ARE final segment rows; rewriting them through a tail-passthrough
+    # job would copy ~95% of the index bytes for nothing — a full-corpus
+    # write+read that neither scales (it is one column-copy job) nor
+    # adds information. The segment store is therefore LAYERED: the
+    # query path unions this merged head overlay with the tail rows
+    # read straight from the fragment store (search.candidate_segments).
     t0 = time.time()
     if not os.path.isdir(paths.fragments) or not os.listdir(paths.fragments):
         # empty corpus (e.g. a delta build with zero new pages):
@@ -693,16 +713,11 @@ def build_index(
             list(FRAG_PA_SCHEMA_SPARK) + [T.StructField("bucket", T.IntegerType())]))
     else:
         frags = spark.read.parquet(paths.fragments)
-    tail = (
-        frags.filter(~F.col("is_head") & (F.col("n") <= max_postings_per_row))
-        .select(F.col("term"), F.col("n").alias("df"), F.col("cf"),
-                F.lit(0).alias("chunk"), F.col("n"), F.col("blocks"), F.col("postings"))
-    )
     head = (
         frags.filter(F.col("is_head") | (F.col("n") > max_postings_per_row))
         .groupBy("term").applyInPandas(_make_merger(avgdl, max_postings_per_row), SEGMENT_SCHEMA)
     )
-    tail.unionByName(head).write.mode("overwrite").parquet(paths.segments)
+    head.write.mode("overwrite").parquet(paths.segments)
     stage("merge+segments", t0)
 
     # --- T3 dictionary: derived from fragment METADATA (|fragment| rows,

@@ -127,18 +127,34 @@ def analyze_queries(queries: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> DataFrame:
-    """Parquet scan of segments restricted to the query terms — the
+    """Parquet scan of segment rows restricted to the query terms — the
     ``isin`` predicate reaches the scan (PushedFilters) and skips row
     groups via min/max + dictionary stats. Accepts one dir or a list
     (base + delta indexes); each row carries its dir's build avgdl so
-    scorers can rescale block bounds."""
+    scorers can rescale block bounds.
+
+    The segment store is LAYERED (build.py merge stage): head/oversized
+    terms live merged+chunked in ``segments/``; tail terms are served
+    directly from their single fragment row in ``fragments/`` (df = n,
+    chunk = 0) — the build never rewrites them."""
     dirs = _as_dirs(index_dir)
     _, _, per_dir = load_stats_multi(dirs)
     out = None
     for d in dirs:
+        st = load_stats(d)
+        maxpost = int(st.get("build_config", {}).get(
+            "max_postings_per_row", 1 << 62))
         seg = (spark.read.parquet(IndexPaths(d).segments)
-               .filter(F.col("term").isin(terms))
-               .withColumn("src_avgdl", F.lit(per_dir[d])))
+               .filter(F.col("term").isin(terms)))
+        frag_dir = IndexPaths(d).fragments
+        if os.path.isdir(frag_dir) and os.listdir(frag_dir):  # empty corpus → no tail
+            tail = (spark.read.parquet(frag_dir)
+                    .filter(F.col("term").isin(terms)
+                            & ~F.col("is_head") & (F.col("n") <= maxpost))
+                    .select("term", F.col("n").alias("df"), "cf",
+                            F.lit(0).alias("chunk"), "n", "blocks", "postings"))
+            seg = seg.unionByName(tail)
+        seg = seg.withColumn("src_avgdl", F.lit(per_dir[d]))
         out = seg if out is None else out.unionByName(seg)
     return out
 

@@ -44,7 +44,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from aarhus_spark.operators.build import build_index
-    from aarhus_spark.operators.search import search_taat, search_wand
+    from aarhus_spark.operators.search import (search_taat, search_wand,
+                                               search_wand_ranges)
     from aarhus_spark.sources.fixtures import gen_queries
     from aarhus_spark.sources.io import pages_from_documents, read_table
 
@@ -88,6 +89,8 @@ def main() -> None:
 
     timed("search_taat_50q", lambda: search_taat(spark, idx_dir, qdf).count())
     timed("search_wand_50q", lambda: search_wand(spark, idx_dir, qdf).count())
+    timed("search_wand_ranges_50q",
+          lambda: search_wand_ranges(spark, idx_dir, qdf, n_ranges=8).count())
 
     # secondary heads: training-data pipeline operators at sf
     from aarhus_spark.operators import dedup as D

@@ -77,3 +77,20 @@ def test_query_analysis_no_row_python(spark):
     qdf = spark.createDataFrame([(0, "a b")], "query_id long, qtext string")
     plan = _plan(analyze_queries(qdf))
     assert "BatchEvalPython" not in plan
+
+
+def test_near_dup_topn_has_no_unpartitioned_window_over_pairs(spark, sf_dir):
+    """The near-dup top-N must not funnel the full candidate-pair set
+    through one task: the first window is partitioned (per-group top-N);
+    only the tiny merged survivor set may see a global sort."""
+    from aarhus_spark.operators.similarity import embedding_near_dup_pairs
+    from aarhus_spark.sources.io import read_table
+    df = embedding_near_dup_pairs(read_table(spark, sf_dir, "embeddings"),
+                                  max_vec_id=100, top_n=5, n_groups=8)
+    plan = _plan(df)
+    # two Window nodes: the partitioned local one and the global merge
+    # over <= n_groups*top_n rows; the PARTITIONED one must come first
+    # (below the global one in the tree = applied to the big input)
+    assert plan.count("Window") >= 2
+    # the local window is keyed by pmod(va, n_groups)
+    assert "pmod" in plan

@@ -10,7 +10,7 @@ def test_fused_equals_standalone(spark):
     pdf = gen_pages(500)
     pages = spark.createDataFrame(pdf)
     want = sorted((r["url"], r["text"]) for r in prepare_pages(pages).collect())
-    fused_df, n = prepare_and_assign_docids(spark, pages, 4)
+    fused_df, n, sumdl = prepare_and_assign_docids(spark, pages, 4)
     fused = fused_df.collect()
     got = sorted((r["url"], r["text"]) for r in fused)
     assert got == want

@@ -54,7 +54,7 @@ def test_empty_vs_null_tiebreak(spark):
             for u, t, h, x, l in order])
         assert oidx.urls == ["https://x.test/keep"]
         # engine (fused path)
-        docs, n = prepare_and_assign_docids(spark, _pages_df(spark, order), 2)
+        docs, n, _sumdl = prepare_and_assign_docids(spark, _pages_df(spark, order), 2)
         got = sorted(r["url"] for r in docs.collect())
         assert got == ["https://x.test/keep"]
         assert n == 1
@@ -105,10 +105,20 @@ def test_recrawl_detection(spark, base_delta, tmpdir_session):
     assert new_pages_only(spark, old, [base]).count() == 0
 
 
-def test_resume_config_mismatch_refused(spark, base_delta):
+def test_resume_config_mismatch_refused(spark, base_delta, tmpdir_session):
+    import shutil
+    from aarhus_spark.operators.build import IndexPaths
     base, _ = base_delta
+    # simulate an INTERRUPTED run: stats/segments missing, fragments +
+    # build_config present — continuing under a different config must fail
+    broken = os.path.join(tmpdir_session, "r2_interrupted")
+    shutil.copytree(base, broken)
+    os.remove(IndexPaths(broken).stats)
     with pytest.raises(ValueError, match="build config"):
-        build_index(spark, _pages_df(spark, []), base, resume=True, salts=3)
+        build_index(spark, _pages_df(spark, []), broken, resume=True, salts=3)
+    # a COMPLETED build resumes as a no-op regardless of requested config
+    stats = build_index(spark, _pages_df(spark, []), base, resume=True, salts=3)
+    assert stats["N"] > 0
 
 
 def test_sign_lsh_no_anchor_aliasing(spark, sf_dir):
