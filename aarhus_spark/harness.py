@@ -170,13 +170,18 @@ WITH pages AS (
 )"""
 
 
-def _bm25_oracle_sql(k: int = 10, by_url: bool = False) -> str:
+def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
+                     conjunctive: bool = False) -> str:
     """Full-corpus BM25 oracle. ``by_url=True`` keys results by url
     (rank tiebreak on url) — the docid-independent form the incremental
     base+delta entry compares against (docid SPACES differ by design
-    between a monolithic build and base+delta; scores don't)."""
+    between a monolithic build and base+delta; scores don't).
+    ``conjunctive=True`` = ES bool.must: every analyzed query term must
+    match (counting HAVING on the same aggregation)."""
     vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in FLAGSHIP_QUERIES)
     key, tie = ("url", "url") if by_url else ("docid", "docid")
+    having = ("HAVING count(*) = (SELECT count(*) FROM qterms q2 "
+              "WHERE q2.query_id = q.query_id)" if conjunctive else "")
     return f"""{_CORPUS_CTES_DUCK}
 , qraw AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, qtext
@@ -195,6 +200,7 @@ def _bm25_oracle_sql(k: int = 10, by_url: bool = False) -> str:
   JOIN dl USING (docid)
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.docid
+  {having}
 ), keyed AS (
   SELECT sc.query_id, i.docid, i.url, sc.score FROM scored sc JOIN ids i USING (docid)
 ), ranked AS (
@@ -349,6 +355,35 @@ def q_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "rank", "url", "score_r")
     )
+
+
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool.must parity: BM25 top-k over docs matching EVERY analyzed
+    query term (counting filter on the TAAT fold — zero extra shuffles)."""
+    from .operators.search import search_taat
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    return _rerank_rounded(search_taat(spark, idx, qdf, k=20, require_all=True))
+
+
+def q_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+ compaction (ES force-merge parity): the base+delta chain
+    compacted into ONE index must answer DOCID-keyed queries exactly
+    like a monolithic full-corpus build — compaction reproduces the
+    monolithic url-rank docid assignment, so this shares the same
+    oracle as bm25_topk_engine."""
+    from .operators.build import IndexPaths
+    from .operators.compact import compact_indexes
+    from .operators.search import search_topk
+    dirs = _ensure_incremental(spark, sf_dir)
+    comp = os.path.join(tempfile.gettempdir(),
+                        f"aarhus_inc_comp_{_build_config_tag()}_"
+                        + sf_dir.strip("/").replace("/", "_"))
+    if not (os.path.exists(IndexPaths(comp).stats)
+            and os.path.exists(os.path.join(IndexPaths(comp).segments, "_SUCCESS"))):
+        compact_indexes(spark, dirs, comp)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    return _rerank_rounded(search_topk(spark, comp, qdf, k=20))
 
 
 # ---------------------------------------------------------------------------
@@ -715,6 +750,8 @@ QUERIES: dict[str, callable] = {
     "bm25_brute_sql": q_bm25_brute_sql,
     "index_stats": q_index_stats,
     "incremental_delta": q_incremental_delta,
+    "compacted_search": q_compacted_search,
+    "bm25_conjunctive": q_bm25_conjunctive,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "join_broadcast": q_join_broadcast,
@@ -741,6 +778,8 @@ ORACLES: dict[str, str] = {
     "bm25_brute_sql": _BRUTE_DUCK_SQL,
     "index_stats": SQL_INDEX_STATS,
     "incremental_delta": _bm25_oracle_sql(by_url=True),
+    "compacted_search": _bm25_oracle_sql(),
+    "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
     "join_broadcast": SQL_JOIN_BROADCAST,

@@ -671,6 +671,53 @@ def build_index(
     salted = tokenize_salt_bucket(docs, head_terms, n_docs, salts,
                                   n_buckets, docid_offset)
 
+    n_terms = encode_merge_finalize(
+        spark, salted, paths, avgdl=avgdl, head_terms=head_terms, n_docs=n_docs,
+        salts=salts, n_buckets=n_buckets, max_postings_per_row=max_postings_per_row,
+        docid_offset=docid_offset, resume=resume, committer=committer, stage=stage)
+
+    # --- S4/S6 stats + metrics ---
+    stats = {
+        "N": n_docs,
+        "avgdl": avgdl,
+        "n_terms": n_terms,
+        "build_config": {
+            "n_partitions": n_partitions, "n_buckets": n_buckets,
+            "salts": salts, "head_thr": head_thr, "docid_offset": docid_offset,
+            "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
+        },
+        "wall_s": time.time() - t_build0,
+    }
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    with open(paths.metrics, "a") as f:
+        for m in metrics:
+            f.write(json.dumps(m) + "\n")
+    docs.unpersist()
+    return stats
+
+
+def encode_merge_finalize(
+    spark: SparkSession,
+    salted: DataFrame,
+    paths: IndexPaths,
+    *,
+    avgdl: float,
+    head_terms: list[str],
+    n_docs: int,
+    salts: int,
+    n_buckets: int,
+    max_postings_per_row: int,
+    docid_offset: int,
+    resume: bool,
+    committer: FragmentCommitter | None,
+    stage,
+) -> int:
+    """The shared back half of every index-producing job (build_index
+    and compact_indexes): resume-filter → THE big bucket shuffle →
+    fragment encode with the per-bucket checkpoint sink → head-merge
+    overlay → dictionary. ``salted`` is the token stream
+    (docid, term, tf, dl, bucket). Returns n_terms."""
     # --- resume filter: only buckets without a manifest ---
     done = _done_buckets(paths.manifests) if resume else set()
     if not resume:
@@ -728,26 +775,7 @@ def build_index(
         .write.mode("overwrite").parquet(paths.dictionary))
     n_terms = spark.read.parquet(paths.dictionary).count()
     stage("dictionary", t0, n_terms=n_terms)
-
-    # --- S4/S6 stats + metrics ---
-    stats = {
-        "N": n_docs,
-        "avgdl": avgdl,
-        "n_terms": n_terms,
-        "build_config": {
-            "n_partitions": n_partitions, "n_buckets": n_buckets,
-            "salts": salts, "head_thr": head_thr, "docid_offset": docid_offset,
-            "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
-        },
-        "wall_s": time.time() - t_build0,
-    }
-    with open(paths.stats, "w") as f:
-        json.dump(stats, f, indent=1)
-    with open(paths.metrics, "a") as f:
-        for m in metrics:
-            f.write(json.dumps(m) + "\n")
-    docs.unpersist()
-    return stats
+    return n_terms
 
 
 def _dir_complete(path: str) -> bool:

@@ -1,0 +1,250 @@
+"""Index compaction — ES/Lucene force-merge parity (SURVEY §2.11 X6+).
+
+``compact_indexes`` merges a base+delta index CHAIN into ONE index that
+is equal to a monolithic rebuild over the union corpus — including the
+docids — WITHOUT re-reading or re-tokenizing any source page:
+
+1. new docids: the union of the per-dir doclens is range-partitioned
+   by url and ranked (the same two-pass dense-rank scheme the build
+   uses), which reproduces the monolithic assignment exactly — a
+   monolithic build's docid IS the url's global rank;
+2. every fragment row of every input dir is decoded back to its
+   (docid, term, tf, dl) token rows (numpy, mapInPandas — the encoder's
+   exact inverse, bit-lossless by the codec roundtrip property);
+3. token rows shuffle-join the docid map (O(postings), the same order
+   as the build's own big shuffle) and flow into the shared back half
+   of the build pipeline (build.encode_merge_finalize): salt/bucket →
+   fragment encode with per-bucket checkpoints → head merge overlay →
+   dictionary → stats.
+
+Equality with a monolithic rebuild is exact: the doc set is identical
+(delta building guarantees url-disjointness), dl and tf are stored
+per posting, and avgdl = Σdl/N is computed from the same integers, so
+every BM25 score is bit-identical (asserted in tests/test_compact.py).
+
+Head-term classification uses the union DICTIONARY (exact df), not a
+sample — compaction already knows every term's global df for free.
+
+What compaction cannot do: resolve re-crawled urls (that needs the new
+page text — see operators/incremental.py's append-only contract). It
+removes the multi-dir query overhead (per-dir scans, block-bound
+rescaling) after a chain of deltas has accumulated.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import decode_block
+from ..config import BLOCK_SIZE, HEAD_DF_QUANTILE, MAX_POSTINGS_PER_ROW, SALTS
+from .build import (FragmentCommitter, IndexPaths, _salt_of,
+                    encode_merge_finalize)
+
+TOKENS_SCHEMA = "dir_id int, docid long, term string, tf long, dl long"
+
+
+def _union_doclens(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    out = None
+    for i, d in enumerate(dirs):
+        dl = (spark.read.parquet(IndexPaths(d).doclens)
+              .select(F.lit(i).alias("dir_id"), F.col("docid").alias("old_docid"),
+                      "url", "dl", "warc_ts"))
+        out = dl if out is None else out.unionByName(dl)
+    return out
+
+
+def _assign_new_docids(spark: SparkSession, doclens: DataFrame,
+                       n_partitions: int):
+    """Monolithic docids for the union corpus: global url rank via the
+    build's two-pass range-partition scheme. Returns (map_df, N, Σdl);
+    map_df = (dir_id, old_docid, docid, url, dl, warc_ts), persisted."""
+    from pyspark import StorageLevel
+
+    rp = (doclens.repartitionByRange(n_partitions, "url")
+          .sortWithinPartitions("url")
+          .withColumn("pid", F.spark_partition_id())
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    rows = rp.groupBy("pid").agg(
+        F.count("*").alias("cnt"), F.sum("dl").alias("sumdl")).collect()
+    counts = {r["pid"]: r["cnt"] for r in rows}
+    sumdl = sum(int(r["sumdl"] or 0) for r in rows)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            off = b_offsets.value[int(pdf["pid"].iloc[0])]
+            pdf = pdf.assign(docid=np.arange(local, local + len(pdf),
+                                             dtype=np.int64) + off)
+            local += len(pdf)
+            yield pdf[["dir_id", "old_docid", "docid", "url", "dl", "warc_ts"]]
+
+    out = rp.mapInPandas(
+        assign, schema="dir_id int, old_docid long, docid long, url string, "
+                       "dl long, warc_ts timestamp")
+    return out.persist(StorageLevel.MEMORY_AND_DISK), acc, sumdl
+
+
+def decode_fragments_to_tokens(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """(dir_id, docid, term, tf, dl) rows from every fragment row of
+    every dir — the fragment encoder's exact inverse."""
+    def make_dec(dir_id: int):
+        def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for term, payload, blks in zip(pdf["term"], pdf["postings"],
+                                               pdf["blocks"]):
+                    buf = np.frombuffer(payload, dtype=np.uint8)
+                    parts = [decode_block(buf, int(b["offset"])) for b in blks]
+                    if not parts:
+                        continue
+                    yield pd.DataFrame({
+                        "dir_id": np.int32(dir_id),
+                        "docid": np.concatenate([p[0] for p in parts]),
+                        "term": term,
+                        "tf": np.concatenate([p[1] for p in parts]),
+                        "dl": np.concatenate([p[2] for p in parts]),
+                    })
+        return dec
+
+    out = None
+    for i, d in enumerate(dirs):
+        toks = (spark.read.parquet(IndexPaths(d).fragments)
+                .select("term", "blocks", "postings")
+                .mapInPandas(make_dec(i), schema=TOKENS_SCHEMA))
+        out = toks if out is None else out.unionByName(toks)
+    return out
+
+
+def _head_terms_from_dictionaries(spark: SparkSession, dirs: list[str],
+                                  head_df_quantile: float) -> tuple[list[str], int]:
+    """Exact head classification from the union dictionary (df summed
+    across dirs) — no sampling needed at compaction time."""
+    dic = None
+    for d in dirs:
+        piece = spark.read.parquet(IndexPaths(d).dictionary).select("term", "df")
+        dic = piece if dic is None else dic.unionByName(piece)
+    dic = dic.groupBy("term").agg(F.sum("df").alias("df"))
+    thr_row = dic.agg(F.percentile_approx("df", head_df_quantile).alias("t")).collect()[0]
+    head_thr = max(int(thr_row["t"] or 0), 2 * BLOCK_SIZE + 1)
+    head_terms = [r["term"] for r in
+                  dic.filter(F.col("df") > head_thr).select("term").collect()]
+    return head_terms, head_thr
+
+
+def salt_bucket_tokens(tokens: DataFrame, head_terms: list[str], n_docs: int,
+                       salts: int, n_buckets: int) -> DataFrame:
+    """Attach the (salt-mixed) bucket shuffle key to existing token rows
+    — the non-tokenizing twin of build.tokenize_salt_bucket, same keying
+    math so the per-bucket checkpoint/resume semantics carry over."""
+    head_set = frozenset(head_terms)
+
+    def key(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            salt, _ = _salt_of(pdf["term"], pdf["docid"], head_set,
+                               n_docs, salts, 0)
+            th = pd.util.hash_array(pdf["term"].to_numpy(object))
+            bucket = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                      % np.uint64(n_buckets)).astype(np.int32)
+            yield pdf[["docid", "term", "tf", "dl"]].assign(bucket=bucket)
+
+    return tokens.mapInPandas(key, schema="docid long, term string, tf long, "
+                                          "dl long, bucket int")
+
+
+def compact_indexes(
+    spark: SparkSession,
+    dirs: list[str],
+    out_dir: str,
+    *,
+    n_partitions: int | None = None,
+    n_buckets: int | None = None,
+    salts: int = SALTS,
+    head_df_quantile: float = HEAD_DF_QUANTILE,
+    max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
+    committer: FragmentCommitter | None = None,
+) -> dict:
+    """Merge ``dirs`` (a base+delta chain) into one index at ``out_dir``
+    that is bit-equal to a monolithic rebuild over the union corpus.
+    Returns the stats dict (same shape as build_index's)."""
+    paths = IndexPaths(out_dir)
+    os.makedirs(paths.manifests, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    n_partitions = n_partitions or max(cpus, 8)
+    n_buckets = n_buckets or n_partitions
+    metrics: list[dict] = []
+    t_all0 = time.time()
+
+    def stage(name: str, t0: float, **kw) -> None:
+        metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
+
+    # --- new docid map + corpus stats (one pass over the union doclens) ---
+    t0 = time.time()
+    id_map, n_docs, sumdl = _assign_new_docids(
+        spark, _union_doclens(spark, dirs), n_partitions)
+    avgdl = float(sumdl) / n_docs if n_docs else 0.0
+    id_map.select("docid", "url", "dl", "warc_ts") \
+        .write.mode("overwrite").parquet(paths.doclens)
+    stage("compact:docid-map+doclens", t0, n_docs=n_docs, avgdl=avgdl)
+
+    with open(paths.build_config, "w") as f:
+        json.dump({"n_buckets": n_buckets, "salts": salts, "docid_offset": 0,
+                   "block_size": BLOCK_SIZE,
+                   "max_postings_per_row": max_postings_per_row,
+                   "head_df_quantile": head_df_quantile}, f)
+
+    # --- exact head set from the union dictionary ---
+    t0 = time.time()
+    head_terms, head_thr = _head_terms_from_dictionaries(spark, dirs, head_df_quantile)
+    with open(os.path.join(out_dir, "heads.json"), "w") as f:
+        json.dump({"terms": head_terms, "thr": head_thr, "frac": 1.0}, f)
+    stage("compact:head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
+
+    # --- decode → remap docids (the one extra O(postings) shuffle
+    #     compaction pays vs a build: the join against the id map) ---
+    tokens = (decode_fragments_to_tokens(spark, dirs)
+              .withColumnRenamed("docid", "old_docid")
+              .join(id_map.select("dir_id", "old_docid", "docid"),
+                    ["dir_id", "old_docid"])
+              .select("docid", "term", "tf", "dl"))
+    salted = salt_bucket_tokens(tokens, head_terms, n_docs, salts, n_buckets)
+
+    n_terms = encode_merge_finalize(
+        spark, salted, paths, avgdl=avgdl, head_terms=head_terms, n_docs=n_docs,
+        salts=salts, n_buckets=n_buckets, max_postings_per_row=max_postings_per_row,
+        docid_offset=0, resume=False, committer=committer, stage=stage)
+
+    stats = {
+        "N": n_docs,
+        "avgdl": avgdl,
+        "n_terms": n_terms,
+        "build_config": {
+            "n_partitions": n_partitions, "n_buckets": n_buckets,
+            "salts": salts, "head_thr": head_thr, "docid_offset": 0,
+            "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
+        },
+        "compacted_from": list(dirs),
+        "wall_s": time.time() - t_all0,
+    }
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    with open(paths.metrics, "a") as f:
+        for m in metrics:
+            f.write(json.dumps(m) + "\n")
+    id_map.unpersist()
+    return stats

@@ -187,8 +187,16 @@ def search_taat(
     index_dir: str,
     queries: DataFrame,
     k: int = TOP_K,
+    require_all: bool = False,
 ) -> DataFrame:
-    """Distributed top-k. Returns (query_id, rank, docid, score)."""
+    """Distributed top-k. Returns (query_id, rank, docid, score).
+
+    ``require_all=True`` is conjunctive (ES ``bool.must``) semantics:
+    a document scores only if it matches EVERY analyzed query term —
+    including out-of-vocabulary terms, which therefore empty the result
+    (exactly ES's behavior for a must-clause on a missing term). The
+    filter is a counting predicate on the same aggregation the
+    disjunctive fold already does: zero extra shuffles."""
     from pyspark.sql.window import Window
 
     n_docs, avgdl, _ = load_stats_multi(_as_dirs(index_dir))
@@ -227,8 +235,13 @@ def search_taat(
         .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
         .withColumn("score", F.aggregate(
             "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
-        .drop("cs")
     )
+    if require_all:
+        # |matched terms| per (query, doc) vs |analyzed terms| per query
+        qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
+        scored = (scored.join(F.broadcast(qn), "query_id")
+                  .filter(F.size("cs") == F.col("qn")).drop("qn"))
+    scored = scored.drop("cs")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
