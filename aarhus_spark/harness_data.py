@@ -350,6 +350,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+_STREAM_SEQ = [0]
+
+
+def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5 driver check: the SAME tumbling agg executed as a genuine
+    Structured Streaming query — readStream parquet source → watermark →
+    stateful window agg → availableNow trigger → memory sink — must
+    equal the batch oracle exactly. The watermark is set far beyond the
+    fixture's time span so no input can be classed late regardless of
+    how the source splits micro-batches (the 1-hour-watermark late-data
+    semantics are exercised in tests/test_streaming.py, where batch
+    boundaries are controlled)."""
+    schema = _t(spark, sf_dir, "events").schema
+    # the fixture table is a single FILE; a streaming source monitors a
+    # directory, so point it at sf_dir with a glob for just this table
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              # watermark requires TIMESTAMP; the fixture stores NTZ
+              # (session tz is pinned UTC, so the cast is value-stable)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "3650 days"))
+    _STREAM_SEQ[0] += 1
+    name = f"tumbling_stream_{_STREAM_SEQ[0]}"
+    return W.run_stream_to_memory(stream, W.tumbling_counts, name)
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sliding_counts(_t(spark, sf_dir, "events"))
 
@@ -621,6 +648,7 @@ QUERIES2 = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "events_tumbling": q_events_tumbling,
+    "events_tumbling_stream": q_events_tumbling_stream,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "scalar_string": q_scalar_string,
@@ -649,6 +677,7 @@ ORACLES2 = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_tumbling_stream": SQL_EVENTS_TUMBLING,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,
     "scalar_string": SQL_SCALAR_STRING,
