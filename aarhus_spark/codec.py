@@ -29,20 +29,18 @@ import numpy as np
 _MASKS = [np.uint64(0x7F) << np.uint64(7 * i) for i in range(10)]
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int64 array to VByte bytes (vectorized)."""
+def _vbyte_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a non-negative int64 array to VByte. Returns the uint8
+    byte array AND per-value byte counts (so callers can slice the
+    stream at any value boundary without re-encoding)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte length per value: ceil(bits/7), min 1
-    bits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 on float is unsafe for >2^53; use a loop over
-    # the 10 possible 7-bit groups instead (vectorized per group).
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # byte length per value: ceil(bits/7), min 1 — computed over the 10
+    # possible 7-bit groups (log2-float is unsafe past 2^53)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for i in range(1, 10):
         nbytes += (v >= (np.uint64(1) << np.uint64(7 * i))).astype(np.int64)
-    del bits, nz
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # start offset of each value's byte run
@@ -55,6 +53,12 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         grp = ((v[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[sel] > (i + 1)).astype(np.uint8) << 7
         out[starts[sel] + i] = grp | cont
+    return out, nbytes
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int64 array to VByte bytes (vectorized)."""
+    out, _ = _vbyte_encode_arr(values)
     return out.tobytes()
 
 
@@ -135,19 +139,56 @@ def encode_blocks(
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     n = docids.size
-    chunks: list[bytes] = []
-    blocks: list[tuple[int, float, int]] = []
-    off = 0
+    if n == 0:
+        return b"", []
     tf_f = tfs.astype(np.float64)
     norm = k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl) if avgdl > 0 else k1
     partials = tf_f / (tf_f + norm)
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        payload = encode_postings(docids[s:e], tfs[s:e], dls[s:e])
-        blocks.append((int(docids[e - 1]), float(partials[s:e].max()), off))
-        chunks.append(payload)
-        off += len(payload)
-    return b"".join(chunks), blocks
+
+    # Fully vectorized across blocks (the per-block-loop version spent
+    # its time in small-array numpy overhead — measured 0.4M postings/s;
+    # this path is one vbyte pass per stream + per-block slice copies):
+    # deltas with an ABSOLUTE value at each block start (blocks are
+    # self-contained), then one vbyte encoding of each stream whose
+    # per-value byte counts let us cut it at block boundaries.
+    starts_idx = np.arange(0, n, block_size, dtype=np.int64)
+    ends_idx = np.minimum(starts_idx + block_size, n)           # exclusive
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+    if n > 1 and deltas[1:].min() <= 0:
+        raise ValueError("encode_blocks: docids must be strictly ascending")
+    deltas[starts_idx] = docids[starts_idx]
+    d_bytes, d_len = _vbyte_encode_arr(deltas)
+    t_bytes, t_len = _vbyte_encode_arr(tfs)
+    l_bytes, l_len = _vbyte_encode_arr(dls)
+    h_bytes, h_len = _vbyte_encode_arr(ends_idx - starts_idx)   # varint(n) headers
+    # byte offset of each VALUE in its stream (exclusive prefix sums)
+    d_off = np.concatenate(([0], np.cumsum(d_len)))
+    t_off = np.concatenate(([0], np.cumsum(t_len)))
+    l_off = np.concatenate(([0], np.cumsum(l_len)))
+    h_off = np.concatenate(([0], np.cumsum(h_len)))
+    block_bytes = (h_len
+                   + (d_off[ends_idx] - d_off[starts_idx])
+                   + (t_off[ends_idx] - t_off[starts_idx])
+                   + (l_off[ends_idx] - l_off[starts_idx]))
+    out_off = np.concatenate(([0], np.cumsum(block_bytes)))
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    max_partials = np.maximum.reduceat(partials, starts_idx)
+    blocks: list[tuple[int, float, int]] = []
+    for bi in range(starts_idx.size):                           # pure slice copies
+        s, e, pos = starts_idx[bi], ends_idx[bi], int(out_off[bi])
+        for src, off_arr, vlo, vhi in (
+            (h_bytes, h_off, bi, bi + 1),
+            (d_bytes, d_off, s, e),
+            (t_bytes, t_off, s, e),
+            (l_bytes, l_off, s, e),
+        ):
+            lo, hi = int(off_arr[vlo]), int(off_arr[vhi])
+            out[pos:pos + hi - lo] = src[lo:hi]
+            pos += hi - lo
+        blocks.append((int(docids[e - 1]), float(max_partials[bi]), int(out_off[bi])))
+    return out.tobytes(), blocks
 
 
 def decode_block(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
