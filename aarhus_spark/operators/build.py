@@ -472,22 +472,19 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
         sink: _BucketSink | None = None
         summaries: list[dict] = []
 
-        def flush_group(g: pd.DataFrame) -> None:
+        def flush_run(bucket: int, term: str, salt: int, is_head: bool,
+                      docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> None:
             nonlocal sink
-            b = int(g["bucket"].iloc[0])
-            if sink is None or sink.bucket != b:
+            if sink is None or sink.bucket != bucket:
                 if sink is not None:
                     summaries.append(sink.close())
-                sink = _BucketSink(b)
-            docids = g["docid"].to_numpy(np.int64)
-            tfs = g["tf"].to_numpy(np.int64)
-            dls = g["dl"].to_numpy(np.int64)
+                sink = _BucketSink(bucket)
             payload, blocks = encode_blocks(docids, tfs, dls, avgdl, BLOCK_SIZE)
-            sink.rows_in += len(g)
+            sink.rows_in += int(docids.size)
             sink.add({
-                "term": g["term"].iloc[0],
-                "salt": int(g["salt"].iloc[0]),
-                "is_head": bool(g["is_head"].iloc[0]),
+                "term": term,
+                "salt": salt,
+                "is_head": is_head,
                 "n": int(docids.size),
                 "cf": int(tfs.sum()),
                 "blocks": [{"last_docid": b0[0], "max_partial": b0[1], "offset": b0[2]} for b0 in blocks],
@@ -507,15 +504,34 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
                 carry = None
             if len(pdf) == 0:
                 return
-            keys = pdf["term"].astype(str) + "\x00" + pdf["salt"].astype(str)
+            # The stream is sorted by (bucket, term, docid) and salt is
+            # MONOTONE in docid within a term (range salting), so every
+            # (term, salt) group is one contiguous run: detect run
+            # boundaries vectorized instead of hash-grouping each Arrow
+            # batch (pandas groupby + string keys measured ~75 ms per
+            # 64 Ki batch; this is ~2 ms).
+            term_arr = pdf["term"].to_numpy(object)
+            salt_arr = pdf["salt"].to_numpy()
+            if len(pdf) > 1:
+                change = (term_arr[1:] != term_arr[:-1]) | (salt_arr[1:] != salt_arr[:-1])
+                starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            else:
+                starts = np.zeros(1, dtype=np.int64)
+            ends = np.concatenate((starts[1:], [len(pdf)]))
             if not final:
-                holdmask = (keys == keys.iloc[-1]).to_numpy()
-                carry = pdf[holdmask]
-                pdf, keys = pdf[~holdmask], keys[~holdmask]
-                if len(pdf) == 0:
+                # hold back the trailing run — it may continue next batch
+                carry = pdf.iloc[int(starts[-1]):]
+                starts, ends = starts[:-1], ends[:-1]
+                if starts.size == 0:
                     return
-            for _, g in pdf.groupby(keys, sort=False):
-                flush_group(g)
+            bucket_arr = pdf["bucket"].to_numpy()
+            head_arr = pdf["is_head"].to_numpy()
+            docid_arr = pdf["docid"].to_numpy(np.int64)
+            tf_arr = pdf["tf"].to_numpy(np.int64)
+            dl_arr = pdf["dl"].to_numpy(np.int64)
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                flush_run(int(bucket_arr[s]), term_arr[s], int(salt_arr[s]),
+                          bool(head_arr[s]), docid_arr[s:e], tf_arr[s:e], dl_arr[s:e])
 
         for pdf in batches:
             consume(pdf, final=False)

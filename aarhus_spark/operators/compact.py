@@ -177,11 +177,21 @@ def compact_indexes(
     salts: int = SALTS,
     head_df_quantile: float = HEAD_DF_QUANTILE,
     max_postings_per_row: int = MAX_POSTINGS_PER_ROW,
+    resume: bool = False,
     committer: FragmentCommitter | None = None,
 ) -> dict:
     """Merge ``dirs`` (a base+delta chain) into one index at ``out_dir``
     that is bit-equal to a monolithic rebuild over the union corpus.
-    Returns the stats dict (same shape as build_index's)."""
+    Returns the stats dict (same shape as build_index's).
+
+    ``resume=True`` mirrors build_index's semantics: a completed
+    compaction returns its stats; an interrupted one recomputes only
+    fragment buckets without a manifest (the docid map and the decode
+    stream re-run — they are the cheap upstream, exactly like the
+    scan/tokenize stages of a resumed build) and refuses to continue
+    under a different config."""
+    from .build import _dir_complete
+
     paths = IndexPaths(out_dir)
     os.makedirs(paths.manifests, exist_ok=True)
     cpus = spark.sparkContext.defaultParallelism
@@ -189,6 +199,21 @@ def compact_indexes(
     n_buckets = n_buckets or n_partitions
     metrics: list[dict] = []
     t_all0 = time.time()
+
+    if resume and os.path.exists(paths.stats) and _dir_complete(paths.segments):
+        with open(paths.stats) as f:
+            return json.load(f)
+    cfg = {"n_buckets": n_buckets, "salts": salts, "docid_offset": 0,
+           "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
+           "head_df_quantile": head_df_quantile}
+    if resume and os.path.exists(paths.build_config):
+        with open(paths.build_config) as f:
+            stored = json.load(f)
+        if stored != cfg:
+            diff = {k: (stored.get(k), cfg[k]) for k in cfg if stored.get(k) != cfg[k]}
+            raise ValueError(
+                f"resume=True with a different compaction config than the "
+                f"original run (stored vs current): {diff}.")
 
     def stage(name: str, t0: float, **kw) -> None:
         metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
@@ -202,17 +227,22 @@ def compact_indexes(
         .write.mode("overwrite").parquet(paths.doclens)
     stage("compact:docid-map+doclens", t0, n_docs=n_docs, avgdl=avgdl)
 
-    with open(paths.build_config, "w") as f:
-        json.dump({"n_buckets": n_buckets, "salts": salts, "docid_offset": 0,
-                   "block_size": BLOCK_SIZE,
-                   "max_postings_per_row": max_postings_per_row,
-                   "head_df_quantile": head_df_quantile}, f)
+    if not (resume and os.path.exists(paths.build_config)):
+        with open(paths.build_config, "w") as f:
+            json.dump(cfg, f)
 
-    # --- exact head set from the union dictionary ---
+    # --- exact head set from the union dictionary (reused on resume:
+    #     bucket assignments must not shift mid-compaction) ---
     t0 = time.time()
-    head_terms, head_thr = _head_terms_from_dictionaries(spark, dirs, head_df_quantile)
-    with open(os.path.join(out_dir, "heads.json"), "w") as f:
-        json.dump({"terms": head_terms, "thr": head_thr, "frac": 1.0}, f)
+    heads_path = os.path.join(out_dir, "heads.json")
+    if resume and os.path.exists(heads_path):
+        with open(heads_path) as f:
+            hm = json.load(f)
+        head_terms, head_thr = hm["terms"], hm["thr"]
+    else:
+        head_terms, head_thr = _head_terms_from_dictionaries(spark, dirs, head_df_quantile)
+        with open(heads_path, "w") as f:
+            json.dump({"terms": head_terms, "thr": head_thr, "frac": 1.0}, f)
     stage("compact:head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
 
     # --- decode → remap docids (the one extra O(postings) shuffle
@@ -227,7 +257,7 @@ def compact_indexes(
     n_terms = encode_merge_finalize(
         spark, salted, paths, avgdl=avgdl, head_terms=head_terms, n_docs=n_docs,
         salts=salts, n_buckets=n_buckets, max_postings_per_row=max_postings_per_row,
-        docid_offset=0, resume=False, committer=committer, stage=stage)
+        docid_offset=0, resume=resume, committer=committer, stage=stage)
 
     stats = {
         "N": n_docs,

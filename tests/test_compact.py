@@ -65,3 +65,32 @@ def test_compacted_dictionary_equal_monolithic(spark, three_indexes):
     m = sorted(tuple(r) for r in spark.read.parquet(IndexPaths(mono).dictionary).collect())
     c = sorted(tuple(r) for r in spark.read.parquet(IndexPaths(comp).dictionary).collect())
     assert c == m
+
+
+def test_compact_resume_recomputes_only_missing_bucket(spark, three_indexes,
+                                                       tmpdir_session):
+    """Kill one bucket of a compacted index (manifest + data, stats and
+    segments gone) → resume recomputes only that bucket and the result
+    still bit-matches the monolithic build."""
+    import shutil
+
+    from aarhus_spark.operators.build import _done_buckets
+    from aarhus_spark.operators.incremental import build_delta  # noqa: F401
+    pdf, mono, comp = three_indexes
+    broken = os.path.join(tmpdir_session, "cp_broken")
+    shutil.copytree(comp, broken)
+    p = IndexPaths(broken)
+    os.remove(os.path.join(p.manifests, "bucket-2.json"))
+    shutil.rmtree(os.path.join(p.fragments, "bucket=2"))
+    os.remove(p.stats)
+    shutil.rmtree(p.segments)
+    assert _done_buckets(p.manifests) == {0, 1, 3, 4}
+    base = os.path.join(tmpdir_session, "cp_base")
+    delta = os.path.join(tmpdir_session, "cp_delta")
+    compact_indexes(spark, [base, delta], broken, n_partitions=4, n_buckets=5,
+                    salts=2, resume=True)
+    assert _done_buckets(p.manifests) == set(range(5))
+    qdf = spark.createDataFrame(gen_queries(pdf).head(10))
+    want = sorted(map(tuple, search_taat(spark, mono, qdf).collect()))
+    got = sorted(map(tuple, search_taat(spark, broken, qdf).collect()))
+    assert got == want
