@@ -148,3 +148,33 @@ def test_search_topk_dispatch(spark, base_delta):
     single = sorted(map(tuple, search_wand(spark, [base, delta], qdf).collect()))
     assert auto == single == forced
     assert len(auto) > 0
+
+
+def test_encoder_carry_across_tiny_arrow_batches(spark, tmpdir_session):
+    """The fragment encoder's run-boundary detection must carry a
+    (term, salt) run across Arrow batch boundaries. Force 64-row
+    batches so nearly every run straddles one, and require the index to
+    answer bit-identically to one built with normal batches."""
+    import shutil
+
+    from aarhus_spark.sources.fixtures import gen_queries
+
+    pdf = gen_pages(800)
+    pages = spark.createDataFrame(pdf)
+    qdf = spark.createDataFrame(gen_queries(pdf).head(10))
+    normal = os.path.join(tmpdir_session, "ab_normal")
+    tiny = os.path.join(tmpdir_session, "ab_tiny")
+    shutil.rmtree(normal, ignore_errors=True)
+    shutil.rmtree(tiny, ignore_errors=True)
+    build_index(spark, pages, normal, n_partitions=4, n_buckets=3, salts=2)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "64")
+        build_index(spark, pages, tiny, n_partitions=4, n_buckets=3, salts=2)
+    finally:
+        spark.conf.set(key, old)
+    want = sorted(map(tuple, search_taat(spark, normal, qdf).collect()))
+    got = sorted(map(tuple, search_taat(spark, tiny, qdf).collect()))
+    assert len(want) > 0
+    assert got == want
