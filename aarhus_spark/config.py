@@ -38,3 +38,14 @@ SALTS: int = 16
 
 # df-quantile that defines "head term" for salting (SURVEY §2.5 A4).
 HEAD_DF_QUANTILE: float = 0.999
+
+# On-disk index layout version, written into build_config.json and
+# stats.json at build time and VERIFIED at read time: readers refuse a
+# mismatched layout instead of silently mis-serving it (a v0.1 dir read
+# by v0.2+ code would double-serve tail postings — segments AND
+# fragments both carry them there). History:
+#   1 = v0.1 monolithic segments (tail rows copied into segments/)
+#   2 = v0.2 layered store (segments = head overlay; tail from fragments)
+#   3 = v0.3 layered store + per-row first_docid (chunk-parallel WAND
+#       range-join pruning needs the true low end of each row's span)
+FORMAT_VERSION: int = 3

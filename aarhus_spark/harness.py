@@ -82,6 +82,16 @@ def _build_config_tag() -> str:
     return hashlib.md5(raw.encode()).hexdigest()[:10]
 
 
+def _index_dir_for(sf_dir: str) -> str:
+    """Deterministic on-disk location of the harness index for a given
+    sf dir — shared by _ensure_index and the manifest_audit oracle
+    generator (the DuckDB twin reads the same manifest/metrics/parquet
+    artifacts by absolute path)."""
+    return os.path.join(tempfile.gettempdir(),
+                        f"aarhus_idx_{_build_config_tag()}_"
+                        + sf_dir.strip("/").replace("/", "_"))
+
+
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir per build-config per process) the inverted
     index over the documents table mapped to the pages shape."""
@@ -89,9 +99,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     from .operators.build import build_index
-    out = os.path.join(tempfile.gettempdir(),
-                       f"aarhus_idx_{_build_config_tag()}_"
-                       + sf_dir.strip("/").replace("/", "_"))
+    out = _index_dir_for(sf_dir)
     from .operators.build import IndexPaths
     if not (os.path.exists(IndexPaths(out).stats)
             and os.path.exists(os.path.join(IndexPaths(out).segments, "_SUCCESS"))):
@@ -305,6 +313,51 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_docs,
        (SELECT round(avg(coalesce(d.dl, 0) * 1.0), 6)
         FROM ids i LEFT JOIN dl d USING (docid)) AS avgdl_r,
        (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tok2) AS n_terms
+"""
+
+
+def q_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 driver check: the per-bucket manifest JSONs (the checkpoint
+    commit markers) and the metrics.jsonl lineage sink are REAL sinks —
+    read them back, aggregate, and cross-audit against the dictionary
+    parquet: Σ postings over manifests must equal Σ df over the
+    dictionary (two independently-written artifacts of the same build).
+    The DuckDB twin reads the same files by path with its JSON reader."""
+    from .operators.build import IndexPaths
+    idx = _ensure_index(spark, sf_dir)
+    p = IndexPaths(idx)
+    man = (spark.read.json(os.path.join(p.manifests, "bucket-*.json"))
+           .agg(F.count("*").alias("n_buckets"),
+                F.sum("rows").alias("tokens_in"),
+                F.sum("postings").alias("postings_manifests"),
+                F.sum("fragments").alias("frag_rows")))
+    dic = (spark.read.parquet(p.dictionary)
+           .agg(F.sum("df").alias("postings_dictionary")))
+    met = (spark.read.json(p.metrics)
+           .agg(F.countDistinct("stage").alias("n_stages")))
+    return man.crossJoin(dic).crossJoin(met)
+
+
+# the driver compares at sf=0.01; the oracle reads the harness index
+# artifacts for that sf dir by absolute path (built by the Spark side of
+# the bm25_* entries, which the driver runs earlier in queries() order)
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _manifest_audit_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
+    from .operators.build import IndexPaths
+    p = IndexPaths(_index_dir_for(sf_dir))
+    man = os.path.join(p.manifests, "bucket-*.json")
+    dic = os.path.join(p.dictionary, "*.parquet")
+    return f"""
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM read_json_auto('{man}')) AS n_buckets,
+  (SELECT CAST(sum("rows") AS BIGINT) FROM read_json_auto('{man}')) AS tokens_in,
+  (SELECT CAST(sum(postings) AS BIGINT) FROM read_json_auto('{man}')) AS postings_manifests,
+  (SELECT CAST(sum(fragments) AS BIGINT) FROM read_json_auto('{man}')) AS frag_rows,
+  (SELECT CAST(sum(df) AS BIGINT) FROM read_parquet('{dic}')) AS postings_dictionary,
+  (SELECT CAST(count(DISTINCT stage) AS BIGINT)
+   FROM read_json_auto('{p.metrics}', format='newline_delimited')) AS n_stages
 """
 
 
@@ -751,6 +804,7 @@ QUERIES: dict[str, callable] = {
     "index_stats": q_index_stats,
     "incremental_delta": q_incremental_delta,
     "compacted_search": q_compacted_search,
+    "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
@@ -779,6 +833,7 @@ ORACLES: dict[str, str] = {
     "index_stats": SQL_INDEX_STATS,
     "incremental_delta": _bm25_oracle_sql(by_url=True),
     "compacted_search": _bm25_oracle_sql(),
+    "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,

@@ -6,6 +6,8 @@ md5 hashing)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,14 +117,22 @@ WITH base AS ({AUG_SQL_DUCK}),
   FROM sh GROUP BY doc_id
 ), bands AS (
   {bands}
-), small AS (
-  SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 64
+), freq AS (
+  SELECT band, bh, count(*) AS f, min(doc_id) AS rep FROM bands GROUP BY band, bh
 ), bands2 AS (
-  SELECT b.doc_id, b.band, b.bh FROM bands b JOIN small s USING (band, bh)
+  SELECT b.doc_id, b.band, b.bh FROM bands b JOIN freq f USING (band, bh) WHERE f.f <= 64
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands2 a JOIN bands2 b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  -- small buckets: all pairs; oversized buckets: star pairs against the
+  -- bucket-min representative (mirrors dedup.lsh_candidate_pairs)
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands2 a JOIN bands2 b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT f.rep AS doc_a, b.doc_id AS doc_b
+    FROM bands b JOIN freq f USING (band, bh)
+    WHERE f.f > 64 AND b.doc_id != f.rep
+  ) z
 )
 {_JACCARD_TAIL_DUCK}
 """
@@ -225,12 +235,18 @@ bits AS (
   FROM embeddings a CROSS JOIN anchors x GROUP BY a.vec_id
 ), b AS (
   SELECT e.vec_id, e.embedding, bits.bucket FROM embeddings e JOIN bits ON e.vec_id = bits.vec_id
+), capped AS (
+  -- degenerate-bucket cap on the candidate side (mirrors
+  -- similarity.cosine_topk_lsh max_bucket=1024)
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS br FROM b
+  ) z WHERE br <= 1024
 ), q AS (
   SELECT vec_id AS qid, embedding AS qv, bucket AS qb FROM b WHERE vec_id IN (0, 1, 2)
 ), cand AS (
   SELECT q.qid, a.vec_id,
          {_COS_DUCK.format(ea='embedding', eb='qv').replace('b.qv', 'q.qv')} AS cos_r
-  FROM b a JOIN q ON a.bucket = q.qb WHERE a.vec_id != q.qid
+  FROM capped a JOIN q ON a.bucket = q.qb WHERE a.vec_id != q.qid
 ), r AS (
   SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank,
          vec_id, cos_r
@@ -351,6 +367,133 @@ FROM events GROUP BY 1, 2
 
 
 _STREAM_SEQ = [0]
+
+
+def _stage_stream_dir(spark: SparkSession, sf_dir: str, name: str,
+                      files: list) -> str:
+    """Stage a parquet directory that a file-stream source will consume
+    as CONTROLLED micro-batches: one file per (filename, pandas frame)
+    pair, mtimes spaced so FileStreamSource (which orders by mod time)
+    processes them in list order under maxFilesPerTrigger=1. Built once
+    per sf_dir per process; a done-marker makes restaging idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+    out = os.path.join(tempfile.gettempdir(),
+                       f"aarhus_stream_{name}_" + sf_dir.strip("/").replace("/", "_"))
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for i, (fname, pdf) in enumerate(files):
+        path = os.path.join(out, fname)
+        # pandas timestamps are ns; Spark's parquet reader rejects
+        # TIMESTAMP(NANOS) — write microseconds
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path,
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        t = 1_000_000_000 + i * 100           # strictly increasing mtimes
+        os.utime(path, (t, t))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def q_events_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 driver check — the unambiguous watermark contract, verified
+    end-to-end in APPEND mode (the late-data mode; the existing
+    events_tumbling_stream entry covers complete mode):
+
+    three stream files processed as separate micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered):
+      1. the full events table — all real windows enter state;
+      2. a far-future sentinel row — the watermark jumps past every real
+         window's end, so append mode FINALIZES (emits + evicts) all of
+         them at this batch's end;
+      3. a replay of 500 original rows, now hours-to-days LATE — their
+         windows are already finalized, so the 1-hour withWatermark must
+         DROP every one of them. If Spark (or this engine's plumbing)
+         accepted them, they would re-open single-row windows whose ends
+         are below the final watermark → extra emitted rows → the
+         driver's row-count/hash check fails.
+
+    Result therefore equals the plain batch tumbling aggregation over
+    the table (the sentinel's own window is never finalized, so it never
+    appears). Pre-eviction lateness nuances are exercised with
+    controlled batches in tests/test_streaming.py."""
+    ev = _t(spark, sf_dir, "events").toPandas()
+    mx = ev["ts"].max()
+    sentinel = ev.iloc[[0]].copy()
+    sentinel["ts"] = mx + __import__("pandas").Timedelta(days=1000)
+    src = _stage_stream_dir(spark, sf_dir, "wm", [
+        ("1_events.parquet", ev),
+        ("2_sentinel.parquet", sentinel),
+        ("3_late_replay.parquet", ev.head(500)),
+    ])
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour"))
+    _STREAM_SEQ[0] += 1
+    name = f"watermark_stream_{_STREAM_SEQ[0]}"
+    q = (W.tumbling_counts(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# the correct streaming result == the batch aggregation over the table:
+# the 500-row late replay must vanish, the sentinel window never closes
+SQL_EVENTS_WATERMARK_STREAM = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 driver check: streaming dedup via dropDuplicatesWithinWatermark
+    over a source that delivers every event TWICE (two identical files =
+    two micro-batches). The watermark delay exceeds the table's time
+    span, so no dedup state expires and the result is exactly DISTINCT
+    events — deterministic however the source splits batches. (Eviction
+    semantics under a short watermark are exercised with controlled
+    batch boundaries in tests/test_streaming.py.)"""
+    ev = _t(spark, sf_dir, "events").toPandas()
+    src = _stage_stream_dir(spark, sf_dir, "dedup", [
+        ("1_events.parquet", ev),
+        ("2_events_again.parquet", ev),
+    ])
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "3650 days"))
+    deduped = (stream.dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "user_id", "event_type",
+                       F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+                       F.round("value", 2).alias("value_r")))
+    _STREAM_SEQ[0] += 1
+    name = f"dedup_stream_{_STREAM_SEQ[0]}"
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(value, 2) AS value_r
+FROM events
+"""
 
 
 def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,10 +738,13 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_postings_codec_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode every segment row of the built index and validate the
-    binary codec invariants (ascending docids, counts match, block
-    offsets resolve). Binary postings are not SQL-expressible → driver
-    records the weaker rows-only check (SURVEY §2.9 F9)."""
+    """Decode every SEGMENT and FRAGMENT row of the built index and
+    validate the binary codec invariants (ascending docids, counts
+    match, block offsets resolve, stored first_docid == first decoded
+    docid). Fragments matter: at small sf the head overlay can be empty
+    (no term crosses the head threshold) and a segments-only check is
+    vacuous. Binary postings are not SQL-expressible → driver records
+    the weaker rows-only check (SURVEY §2.9 F9)."""
     from typing import Iterator
 
     import numpy as np
@@ -609,23 +755,30 @@ def q_postings_codec_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.build import IndexPaths
 
     idx = _ensure_index(spark, sf_dir)
-    seg = spark.read.parquet(IndexPaths(idx).segments)
+    p = IndexPaths(idx)
+    cols = ["term", "n", "first_docid", "blocks", "postings"]
+    seg = (spark.read.parquet(p.segments).select(*cols)
+           .unionByName(spark.read.parquet(p.fragments).select(*cols)))
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                buf = np.frombuffer(r["postings"], dtype=np.uint8)
+            for term, n, fd, payload, blks in zip(pdf["term"], pdf["n"],
+                                                  pdf["first_docid"],
+                                                  pdf["postings"], pdf["blocks"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
                 ds = []
-                for b in r["blocks"]:
+                for b in blks:
                     d, t, l = decode_block(buf, int(b["offset"]))
                     ds.append(d)
                     assert d[-1] == b["last_docid"]
                 alld = np.concatenate(ds) if ds else np.empty(0, np.int64)
-                ok = alld.size == r["n"]
+                ok = alld.size == int(n)
+                if ok and alld.size:
+                    ok = int(alld[0]) == int(fd)
                 if ok and alld.size > 1:
                     ok = bool((np.diff(alld) > 0).all())
-                rows.append((r["term"], int(r["n"]), bool(ok)))
+                rows.append((term, int(n), bool(ok)))
             if rows:
                 yield pd.DataFrame(rows, columns=["term", "n", "codec_ok"])
 
@@ -649,6 +802,8 @@ QUERIES2 = {
     "multimodal_meta": q_multimodal_meta,
     "events_tumbling": q_events_tumbling,
     "events_tumbling_stream": q_events_tumbling_stream,
+    "events_watermark_stream": q_events_watermark_stream,
+    "stream_dedup": q_stream_dedup,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "scalar_string": q_scalar_string,
@@ -678,6 +833,8 @@ ORACLES2 = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_tumbling_stream": SQL_EVENTS_TUMBLING,
+    "events_watermark_stream": SQL_EVENTS_WATERMARK_STREAM,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,
     "scalar_string": SQL_SCALAR_STRING,

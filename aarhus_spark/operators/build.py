@@ -54,7 +54,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codec import decode_all_blocks, encode_blocks
-from ..config import BLOCK_SIZE, HEAD_DF_QUANTILE, MAX_POSTINGS_PER_ROW, SALTS
+from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
+                      MAX_POSTINGS_PER_ROW, SALTS)
 from ..textops import extract_series, tokenize_series
 
 TOKENS_SCHEMA = "docid long, term string, tf long, dl long"
@@ -75,6 +76,7 @@ FRAG_PA_SCHEMA = pa.schema([
     ("is_head", pa.bool_()),
     ("n", pa.int64()),
     ("cf", pa.int64()),
+    ("first_docid", pa.int64()),  # true low end of the row's docid span
     ("blocks", _BLOCKS_PA),
     ("postings", pa.binary()),
 ])
@@ -88,6 +90,7 @@ FRAG_PA_SCHEMA_SPARK = [
     T.StructField("is_head", T.BooleanType()),
     T.StructField("n", T.LongType()),
     T.StructField("cf", T.LongType()),
+    T.StructField("first_docid", T.LongType()),
     T.StructField("blocks", T.ArrayType(T.StructType([
         T.StructField("last_docid", T.LongType()),
         T.StructField("max_partial", T.DoubleType()),
@@ -102,6 +105,7 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("cf", T.LongType()),      # global collection frequency
     T.StructField("chunk", T.IntegerType()),
     T.StructField("n", T.LongType()),       # postings in THIS row
+    T.StructField("first_docid", T.LongType()),  # first docid in THIS row
     T.StructField("blocks", T.ArrayType(T.StructType([
         T.StructField("last_docid", T.LongType()),
         T.StructField("max_partial", T.DoubleType()),
@@ -462,6 +466,23 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
             with open(self.man_tmp, "w") as f:
                 json.dump(man, f)
             _commit.publish(self.man_tmp, dst)  # idempotent under task retry
+            # sweep sibling tmp files left by failed/zombie/speculative
+            # attempts of THIS bucket (dot-prefixed, so readers already
+            # ignore them — this only stops the disk leak across retries
+            # and resumes). A zombie still holding a deleted inode keeps
+            # writing harmlessly to it; it never publishes.
+            import glob
+            for stale in glob.glob(os.path.join(self.dir, ".part-0.parquet.tmp-*")):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+            for stale in glob.glob(os.path.join(
+                    manifests_dir, f".bucket-{self.bucket}.tmp-*")):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
             return man
 
     head_set = frozenset(head_terms)
@@ -487,6 +508,7 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
                 "is_head": is_head,
                 "n": int(docids.size),
                 "cf": int(tfs.sum()),
+                "first_docid": int(docids[0]),
                 "blocks": [{"last_docid": b0[0], "max_partial": b0[1], "offset": b0[2]} for b0 in blocks],
                 "postings": payload,
             })
@@ -555,7 +577,8 @@ def _make_merger(avgdl: float, max_postings_per_row: int):
             r = g.iloc[0]
             return pd.DataFrame([{
                 "term": term, "df": int(r["n"]), "cf": int(r["cf"]),
-                "chunk": 0, "n": int(r["n"]), "blocks": r["blocks"],
+                "chunk": 0, "n": int(r["n"]),
+                "first_docid": int(r["first_docid"]), "blocks": r["blocks"],
                 "postings": r["postings"],
             }])
         # k-way merge: fragments are docid-range-disjoint (range salting)
@@ -575,6 +598,7 @@ def _make_merger(avgdl: float, max_postings_per_row: int):
             rows.append({
                 "term": term, "df": df_total, "cf": cf_total, "chunk": ci,
                 "n": e - s,
+                "first_docid": int(docids[s]),
                 "blocks": [{"last_docid": b[0], "max_partial": b[1], "offset": b[2]} for b in blocks],
                 "postings": payload,
             })
@@ -624,7 +648,8 @@ def build_index(
     # --- resume guard: refuse to CONTINUE an interrupted run under a
     #     different config — mixing two bucket-id / salt / codec spaces
     #     silently corrupts the index ---
-    cfg = {"n_buckets": n_buckets, "salts": salts, "docid_offset": docid_offset,
+    cfg = {"format_version": FORMAT_VERSION,
+           "n_buckets": n_buckets, "salts": salts, "docid_offset": docid_offset,
            "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
            "head_df_quantile": head_df_quantile}
     if resume and os.path.exists(paths.build_config):
@@ -694,9 +719,14 @@ def build_index(
 
     # --- S4/S6 stats + metrics ---
     stats = {
+        "format_version": FORMAT_VERSION,
         "N": n_docs,
         "avgdl": avgdl,
         "n_terms": n_terms,
+        # layered store: does fragments/ hold tail rows to union at query
+        # time? Cached here so per-query planning never stats the
+        # directory (at object-store scale a LIST call per query per dir)
+        "has_tail": os.path.isdir(paths.fragments) and bool(os.listdir(paths.fragments)),
         "build_config": {
             "n_partitions": n_partitions, "n_buckets": n_buckets,
             "salts": salts, "head_thr": head_thr, "docid_offset": docid_offset,

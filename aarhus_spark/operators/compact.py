@@ -44,7 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..codec import decode_block
-from ..config import BLOCK_SIZE, HEAD_DF_QUANTILE, MAX_POSTINGS_PER_ROW, SALTS
+from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
+                      MAX_POSTINGS_PER_ROW, SALTS)
 from .build import (FragmentCommitter, IndexPaths, _salt_of,
                     encode_merge_finalize)
 
@@ -203,7 +204,8 @@ def compact_indexes(
     if resume and os.path.exists(paths.stats) and _dir_complete(paths.segments):
         with open(paths.stats) as f:
             return json.load(f)
-    cfg = {"n_buckets": n_buckets, "salts": salts, "docid_offset": 0,
+    cfg = {"format_version": FORMAT_VERSION,
+           "n_buckets": n_buckets, "salts": salts, "docid_offset": 0,
            "block_size": BLOCK_SIZE, "max_postings_per_row": max_postings_per_row,
            "head_df_quantile": head_df_quantile}
     if resume and os.path.exists(paths.build_config):
@@ -260,9 +262,11 @@ def compact_indexes(
         docid_offset=0, resume=resume, committer=committer, stage=stage)
 
     stats = {
+        "format_version": FORMAT_VERSION,
         "N": n_docs,
         "avgdl": avgdl,
         "n_terms": n_terms,
+        "has_tail": os.path.isdir(paths.fragments) and bool(os.listdir(paths.fragments)),
         "build_config": {
             "n_partitions": n_partitions, "n_buckets": n_buckets,
             "salts": salts, "head_thr": head_thr, "docid_offset": 0,

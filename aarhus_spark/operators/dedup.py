@@ -19,6 +19,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Tokenizer contract shared by the Spark operators and the DuckDB
+# oracle twins: lowercase, then extract [a-z0-9]+ runs. CONTRACT NOTE —
+# ASCII corpus assumed: Spark/Python (str.lower) and DuckDB (lower())
+# implement different Unicode case maps; e.g. Python lowercases 'İ' to
+# 'i' + COMBINING DOT ABOVE, so the two sides can extract different
+# [a-z0-9]+ runs from non-ASCII text. On ASCII text (the frozen fixture
+# contract, SURVEY §1.3.2) the mappings agree byte-for-byte. Feeding
+# non-ASCII corpora through the dedup oracles requires pinning both
+# sides to an explicit ASCII-only case fold first.
 TOKS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
 
@@ -86,14 +95,20 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
     """Band the signature (rows of band_size hashes), hash each band,
     self-join on (band, band_hash) -> distinct candidate (doc_a, doc_b).
 
-    Degenerate-bucket cap: a band bucket holding f docs generates
+    Degenerate-bucket handling: a band bucket holding f docs generates
     O(f²) pairs inside ONE join key — mass-duplicated boilerplate (or a
     tiny vocabulary) can put millions of docs in one bucket and melt a
-    single task at web scale. Buckets with > max_bucket docs are dropped
-    from candidate generation entirely (deterministic; mirrored in the
-    DuckDB oracle twin). Near-dup clusters that large are still caught:
-    every pair also collides in its other n_bands-1 buckets, and truly
-    identical docs belong in exact_duplicates' hash-groupBy anyway."""
+    single task at web scale. Buckets with > max_bucket docs therefore
+    do NOT all-pairs self-join; they emit STAR pairs instead —
+    (bucket-min doc_id, member) — O(f) pairs that keep every member
+    connected to one representative, which is exactly what keep-one
+    dedup needs. The recall trade, stated honestly: pairs BETWEEN two
+    non-representative members of an oversized cluster are not emitted,
+    and a near-dup cluster that saturates one band's bucket saturates
+    its other n_bands-1 buckets too (its signatures are near-identical),
+    so those member-member pairs are genuinely not produced anywhere —
+    they are NOT "caught in another band". Deterministic; mirrored in
+    the DuckDB oracle twin (harness_data._minhash_duck)."""
     n_bands = n_hashes // band_size
     bands = None
     for b in range(n_bands):
@@ -102,18 +117,25 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
         piece = sig.select(
             "doc_id", F.lit(b).alias("band"), F.expr(_h(f"({cols})")).alias("bh"))
         bands = piece if bands is None else bands.unionByName(piece)
-    small = (bands.groupBy("band", "bh").agg(F.count("*").alias("f"))
-             .filter(F.col("f") <= max_bucket).select("band", "bh"))
-    bands = bands.join(small, ["band", "bh"], "left_semi")
-    a = bands.alias("a")
-    b2 = bands.alias("b")
-    return (
+    freq = bands.groupBy("band", "bh").agg(
+        F.count("*").alias("f"), F.min("doc_id").alias("rep"))
+    small = freq.filter(F.col("f") <= max_bucket).select("band", "bh")
+    bs = bands.join(small, ["band", "bh"], "left_semi")
+    a = bs.alias("a")
+    b2 = bs.alias("b")
+    full = (
         a.join(b2, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    star = (
+        bands.join(freq.filter(F.col("f") > max_bucket).select("band", "bh", "rep"),
+                   ["band", "bh"])
+        .filter(F.col("doc_id") != F.col("rep"))     # rep = bucket min < doc_id
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return full.unionByName(star).distinct()
 
 
 def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..codec import decode_block
-from ..config import TOP_K
+from ..config import FORMAT_VERSION, TOP_K
 from ..scoring import idf as _idf
 from ..textops import tokenize_series
 from .build import IndexPaths
@@ -56,8 +56,20 @@ RESULT_SCHEMA = "query_id long, rank int, docid long, score double"
 
 
 def load_stats(index_dir: str) -> dict:
+    """Read stats.json and REFUSE a layout-version mismatch: e.g. a v0.1
+    index dir (tail rows present in BOTH segments/ and fragments/) read
+    by layered-store code would silently double-serve tail postings —
+    wrong scores, no error. Readers must fail loudly instead."""
     with open(IndexPaths(index_dir).stats) as f:
-        return json.load(f)
+        st = json.load(f)
+    ver = st.get("format_version")
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"index dir {index_dir!r} has on-disk layout version {ver!r} but "
+            f"this engine reads version {FORMAT_VERSION}. Reading a mismatched "
+            f"layout silently corrupts results (e.g. tail postings served "
+            f"twice); rebuild the index or run the matching engine version.")
+    return st
 
 
 def _as_dirs(index_dir) -> list[str]:
@@ -147,12 +159,15 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
         seg = (spark.read.parquet(IndexPaths(d).segments)
                .filter(F.col("term").isin(terms)))
         frag_dir = IndexPaths(d).fragments
-        if os.path.isdir(frag_dir) and os.listdir(frag_dir):  # empty corpus → no tail
+        # tail existence cached in stats.json at build time — no per-query
+        # directory listing (an object-store LIST per query per dir)
+        if st.get("has_tail", os.path.isdir(frag_dir) and bool(os.listdir(frag_dir))):
             tail = (spark.read.parquet(frag_dir)
                     .filter(F.col("term").isin(terms)
                             & ~F.col("is_head") & (F.col("n") <= maxpost))
                     .select("term", F.col("n").alias("df"), "cf",
-                            F.lit(0).alias("chunk"), "n", "blocks", "postings"))
+                            F.lit(0).alias("chunk"), "n", "first_docid",
+                            "blocks", "postings"))
             seg = seg.unionByName(tail)
         seg = seg.withColumn("src_avgdl", F.lit(per_dir[d]))
         out = seg if out is None else out.unionByName(seg)
@@ -267,30 +282,37 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     if range_hi is None:
         range_hi = np.iinfo(np.int64).max
     qid = int(g["query_id"].iloc[0])
-    # term-level structures; chunks of the same term behave as extra blocks
-    term_rows: dict[str, list] = {}
-    for _, row in g.iterrows():
-        term_rows.setdefault(row["term"], []).append(row)
+    # term-level structures; chunks of the same term behave as extra
+    # blocks. Plain column zip — no pandas row materialization (the
+    # codebase idiom; an iterrows here costs one Python Series build per
+    # (term, chunk) row).
+    src_it = g["src_avgdl"] if "src_avgdl" in g.columns else [None] * len(g)
+    term_rows: dict[str, list[tuple]] = {}
+    for row in zip(g["term"], g["chunk"], g["first_docid"], g["df"],
+                   g["blocks"], g["postings"], src_it):
+        term_rows.setdefault(row[0], []).append(row)
     terms = sorted(term_rows)  # frozen summation order §1.3.4
 
     # block table: (start, end, ub, term_idx, payload_ref, offset).
-    # Rows from a delta/base mix are ordered by (src docid ranges are
-    # disjoint across dirs by construction — docid_offset). Block bounds
-    # stored at build time used that dir's avgdl; rescale by
-    # max(1, avgdl/src_avgdl) — a proven-safe upper bound (partial is
-    # increasing in avgdl; see load_stats_multi docstring).
+    # Rows from a delta/base mix are ordered by (first_docid, chunk) —
+    # src docid ranges are disjoint across dirs by construction
+    # (docid_offset). Block bounds stored at build time used that dir's
+    # avgdl; rescale by max(1, avgdl/src_avgdl) — a proven-safe upper
+    # bound (partial is increasing in avgdl; see load_stats_multi
+    # docstring). Each row's first block starts at the row's TRUE
+    # first_docid (stored since format v3), so a block never covers
+    # intervals before its first posting.
     blocks = []
     idfs = {}
     for ti, t in enumerate(terms):
-        rows = sorted(term_rows[t],
-                      key=lambda r: (int(r["__min_docid"]), int(r["chunk"])))
-        df_t = float(dfg[t]) if dfg is not None else float(rows[0]["df"])
+        rows = sorted(term_rows[t], key=lambda r: (int(r[2]), int(r[1])))
+        df_t = float(dfg[t]) if dfg is not None else float(rows[0][3])
         idfs[t] = _idf(df_t, n_docs)
-        prev_last = -1
-        for row in rows:
-            buf = np.frombuffer(row["postings"], dtype=np.uint8)
-            scale = max(1.0, avgdl / float(row["src_avgdl"])) if "src_avgdl" in row else 1.0
-            for b in row["blocks"]:
+        for (_t, _chunk, first_docid, _df, blks, payload, src_avgdl) in rows:
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            scale = max(1.0, avgdl / float(src_avgdl)) if src_avgdl is not None else 1.0
+            prev_last = int(first_docid) - 1
+            for b in blks:
                 blocks.append((prev_last + 1, int(b["last_docid"]),
                                idfs[t] * float(b["max_partial"]) * scale,
                                ti, buf, int(b["offset"])))
@@ -347,6 +369,16 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
         uniq, inv = np.unique(alld, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, allc)  # adds in array order = sorted term order
+        if len(heap) >= k:
+            # numpy-mask before the Python heap loop: a candidate with
+            # score < theta can never enter the top-k — (sc, -d) < (theta,
+            # -d0) whenever sc < theta, regardless of docid. Ties (sc ==
+            # theta) MUST survive the mask: they can still win on the
+            # docid tiebreak. Keeps the per-interval Python work
+            # O(survivors), not O(interval size), on flat-score tails.
+            keep = scores >= theta
+            if not keep.all():
+                uniq, scores = uniq[keep], scores[keep]
         for d, sc in zip(uniq.tolist(), scores.tolist()):
             item = (sc, -d)
             if len(heap) < k:
@@ -383,9 +415,6 @@ def search_wand(
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
     dfg = _global_df_map(spark, index_dir, terms)
-    # rows of a term may come from several dirs with disjoint docid
-    # ranges; order them by first block docid for contiguous chaining
-    seg = seg.withColumn("__min_docid", F.element_at("blocks", 1)["last_docid"])
     seg_q = seg.join(F.broadcast(qterms), "term")
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
@@ -447,7 +476,6 @@ def search_wand_ranges(
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
     dfg = _global_df_map(spark, index_dir, terms)
-    seg = seg.withColumn("__min_docid", F.element_at("blocks", 1)["last_docid"])
     seg = seg.withColumn("__max_docid", F.element_at("blocks", -1)["last_docid"])
     seg_q = seg.join(F.broadcast(qterms), "term")
 
@@ -462,10 +490,17 @@ def search_wand_ranges(
         [(r, dom_lo + r * width, dom_lo + (r + 1) * width - 1)
          for r in range(n_ranges)],
         "rng int, lo long, hi long")
-    # a row joins every range its docid span can touch; rows whose span
-    # misses the range decode nothing (cheap) — exactness never depends
-    # on this pruning, only task size does
-    seg_r = seg_q.join(F.broadcast(ranges), F.col("__max_docid") >= F.col("lo"))
+    # a row joins exactly the ranges its TRUE docid span
+    # [first_docid, __max_docid] intersects — both bounds are needed:
+    # without the low side, a tail term whose postings sit late in the
+    # docid space is copied into every earlier range's group (~n_ranges/2
+    # replication, ×512 at the fan-out cap) and decodes nothing there.
+    # Exactness never depends on this pruning, only task size does: any
+    # row holding a posting for a doc in [lo, hi] spans that doc's docid
+    # and therefore joins the range.
+    seg_r = seg_q.join(F.broadcast(ranges),
+                       (F.col("__max_docid") >= F.col("lo"))
+                       & (F.col("first_docid") <= F.col("hi")))
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
         return _wand_one_query(g, n_docs, avgdl, k, dfg,

@@ -79,15 +79,32 @@ def sign_lsh_buckets(emb: DataFrame, anchor_ids: list[int]) -> DataFrame:
 
 
 def cosine_topk_lsh(emb: DataFrame, query_ids: list[int],
-                    anchor_ids: list[int], k: int = 10) -> DataFrame:
+                    anchor_ids: list[int], k: int = 10,
+                    max_bucket: int = 1024) -> DataFrame:
     """ANN: candidates = same sign-LSH bucket as the query, then exact
-    cosine rerank. Approximate by design (bucket boundaries)."""
+    cosine rerank. Approximate by design (bucket boundaries).
+
+    Degenerate-bucket cap (the same failure mode MinHash-LSH dedup
+    caps): boilerplate-heavy corpora collapse many vectors into few
+    sign buckets, and the bucket equi-join then melts one task. The
+    CANDIDATE side keeps only the ``max_bucket`` lowest-vec_id members
+    per bucket (deterministic, mirrored in the DuckDB twin); the cap
+    runs on narrow (vec_id, bucket) rows so the window task never holds
+    embeddings. Queries are never dropped — only their candidate pool
+    is bounded (recall trades against task size, as any ANN probe-limit
+    does; raise n_anchors so buckets stay small before leaning on the
+    cap)."""
     bucketed = sign_lsh_buckets(emb, anchor_ids)
     q = (bucketed.filter(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
                  F.col("bucket").alias("qb")))
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    keep = (bucketed.select("vec_id", "bucket")
+            .withColumn("__br", F.row_number().over(wb))
+            .filter(F.col("__br") <= max_bucket).select("vec_id"))
+    capped = bucketed.join(keep, "vec_id", "left_semi")
     cand = (
-        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        capped.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("cos_r", F.round(
             _dot("embedding", "qv") / (_norm("embedding") * _norm("qv")), 6))

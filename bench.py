@@ -43,6 +43,8 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8), extra=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
     from aarhus_spark.operators.build import build_index
     from aarhus_spark.operators.search import (search_taat, search_wand,
                                                search_wand_ranges)
@@ -116,6 +118,25 @@ def main() -> None:
     timed("search_wand_50q", lambda: search_wand(spark, idx_dir, qdf).count())
     timed("search_wand_ranges_50q",
           lambda: search_wand_ranges(spark, idx_dir, qdf, n_ranges=8).count())
+
+    # X7 compaction: split the corpus into base (even doc_id urls) +
+    # delta, then compact the 2-dir chain into one index — the only
+    # major operator previously without a tracked bench number
+    from aarhus_spark.operators.compact import compact_indexes
+    from aarhus_spark.operators.incremental import build_delta
+    base_dir, delta_dir = "/tmp/aarhus_bench_cbase", "/tmp/aarhus_bench_cdelta"
+    comp_dir = "/tmp/aarhus_bench_comp"
+    even = pages.filter(F.substring("url", -1, 1).isin(*"02468"))
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    build_index(spark, even, base_dir)
+    build_delta(spark, pages, base_dir, delta_dir)
+
+    def _fresh_compact():
+        shutil.rmtree(comp_dir, ignore_errors=True)
+        return compact_indexes(spark, [base_dir, delta_dir], comp_dir)
+
+    timed("compact_2dirs", _fresh_compact)
 
     # secondary heads: training-data pipeline operators at sf
     from aarhus_spark.operators import dedup as D
