@@ -256,6 +256,47 @@ SELECT qid, rank, vec_id, cos_r FROM r WHERE rank <= 10
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk_ivf(_t(spark, sf_dir, "embeddings"), [0, 1, 2],
+                             list(range(8)), k=10, nprobe=2)
+
+
+_IVF_SIM = ("round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+            " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+            " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)")
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7)
+), sims AS (
+  SELECT a.vec_id, a.embedding, c.cid,
+         {_IVF_SIM.format(a='a.embedding', b='c.cv')} AS sim_r
+  FROM embeddings a CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_r DESC, cid) AS rn
+    FROM sims) z WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)
+), qp AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_IVF_SIM.format(a='q.qv', b='c.cv')} DESC, c.cid) AS pr
+    FROM q CROSS JOIN cents c) z WHERE pr <= 2
+), cand AS (
+  SELECT qp.qid, a.vec_id,
+         {_IVF_SIM.format(a='a.embedding', b='qp.qv')} AS cos_r
+  FROM assign a JOIN qp ON a.cid = qp.cid WHERE a.vec_id != qp.qid
+), r AS (
+  SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank,
+         vec_id, cos_r
+  FROM cand
+)
+SELECT qid, rank, vec_id, cos_r FROM r WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -795,6 +836,7 @@ QUERIES2 = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_ivf": q_ann_ivf,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
@@ -826,6 +868,7 @@ ORACLES2 = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_bucket": SQL_ANN_LSH_BUCKET,
+    "ann_ivf": SQL_ANN_IVF,
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,

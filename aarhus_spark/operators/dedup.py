@@ -109,6 +109,8 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
     so those member-member pairs are genuinely not produced anywhere —
     they are NOT "caught in another band". Deterministic; mirrored in
     the DuckDB oracle twin (harness_data._minhash_duck)."""
+    from pyspark import StorageLevel
+
     n_bands = n_hashes // band_size
     bands = None
     for b in range(n_bands):
@@ -117,6 +119,11 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
         piece = sig.select(
             "doc_id", F.lit(b).alias("band"), F.expr(_h(f"({cols})")).alias("bh"))
         bands = piece if bands is None else bands.unionByName(piece)
+    # three consumers (freq agg, small self-join, star join) — persist
+    # the narrow (doc_id, band, bh) rows or each recomputes the minhash
+    # signature aggregation from the shingle stream (measured 2.6× on
+    # the sf0.1 bench)
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     freq = bands.groupBy("band", "bh").agg(
         F.count("*").alias("f"), F.min("doc_id").alias("rep"))
     small = freq.filter(F.col("f") <= max_bucket).select("band", "bh")

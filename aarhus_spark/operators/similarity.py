@@ -117,6 +117,67 @@ def cosine_topk_lsh(emb: DataFrame, query_ids: list[int],
     )
 
 
+def ivf_assign(emb: DataFrame, centroid_ids: list[int]) -> DataFrame:
+    """IVF cell assignment: each vector joins the cell of its most-
+    similar centroid (rounded cosine, centroid-id tiebreak). Centroids
+    are rows of the table itself (deterministic — no RNG/k-means state
+    to share with the DuckDB twin; at web scale, seed them from a
+    k-means|| sample instead and keep everything downstream unchanged).
+
+    Shape: ONE broadcast cross join (N·n_centroids narrow rows) + one
+    hash agg (max_by via struct max) — no windows over unbounded
+    partitions, no shuffle of embeddings beyond the final vec_id join."""
+    cents = (emb.filter(F.col("vec_id").isin(centroid_ids))
+             .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    scored = (
+        emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+        .withColumn("sim_r", F.round(
+            _dot("embedding", "cv") / (_norm("embedding") * _norm("cv")), 6))
+    )
+    # argmax(sim_r) with smallest-cid tiebreak, as one agg: max of
+    # struct(sim_r, -cid) picks highest sim, then smallest cid
+    best = (scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("sim_r"), (-F.col("cid")).alias("ncid"))).alias("b"))
+            .select("vec_id", (-F.col("b.ncid")).cast("long").alias("cid")))
+    return emb.join(best, "vec_id")
+
+
+def cosine_topk_ivf(emb: DataFrame, query_ids: list[int],
+                    centroid_ids: list[int], k: int = 10,
+                    nprobe: int = 2) -> DataFrame:
+    """ANN, IVF flavor (the other scale path besides sign-LSH): probe
+    the ``nprobe`` cells whose centroids are most similar to the query,
+    exact-rerank inside them. Candidate generation is an equi-join on
+    cell id — shuffle keyed by n_centroids values; raise n_centroids
+    (and nprobe) as N grows to keep cells ~N/n_centroids."""
+    assigned = ivf_assign(emb, centroid_ids)
+    cents = (emb.filter(F.col("vec_id").isin(centroid_ids))
+             .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")))
+    q = (emb.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    wp = Window.partitionBy("qid").orderBy(F.desc("sim_r"), F.asc("cid"))
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim_r", F.round(
+            _dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos_r", F.round(
+            _dot("embedding", "qv") / (_norm("embedding") * _norm("qv")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_r")
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, max_vec_id: int, top_n: int = 20,
                              n_groups: int = 32) -> DataFrame:
     """Embedding-cosine near-duplicate detection: top-N most-similar
