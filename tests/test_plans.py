@@ -79,6 +79,25 @@ def test_query_analysis_no_row_python(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_range_join_carries_both_span_bounds(spark, tmpdir_session, pages_parquet):
+    """The chunk-parallel (query, range) join must prune on BOTH ends of
+    a row's docid span: __max_docid >= lo AND first_docid <= hi. With
+    only the low predicate, a late-docid tail row replicates into every
+    earlier range's group (~n_ranges/2 copies at scale)."""
+    from aarhus_spark.operators.build import build_index
+    from aarhus_spark.operators.search import search_wand_ranges
+    idx = os.path.join(tmpdir_session, "idx_plan2")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_index(spark, read_pages(spark, pages_parquet), idx,
+                    n_partitions=3, n_buckets=2, salts=2)
+    qdf = spark.createDataFrame([(0, "the spark data")], "query_id long, qtext string")
+    plan = _plan(search_wand_ranges(spark, idx, qdf, n_ranges=4))
+    flat = plan.replace(" ", "")
+    assert "__max_docid" in flat and "first_docid" in flat
+    assert ">=lo" in flat.replace("'", "") or "(__max_docid>=lo)" in flat
+    assert "<=hi" in flat.replace("'", "") or "(first_docid<=hi)" in flat
+
+
 def test_near_dup_topn_has_no_unpartitioned_window_over_pairs(spark, sf_dir):
     """The near-dup top-N must not funnel the full candidate-pair set
     through one task: the first window is partitioned (per-group top-N);
