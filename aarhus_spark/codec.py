@@ -3,6 +3,7 @@
 SURVEY.md §1.4 / §2.9 F9. Postings for one segment row are stored as
 
     varint(n) ⧺ vbyte(delta(docids)) ⧺ vbyte(tfs) ⧺ vbyte(dls)
+    [ ⧺ vbyte(delta(positions)) ]          (format v4)
 
 - docids strictly ascending int64, delta-gapped (first value stored
   absolute) — Manning et al. 2008 ch.5.
@@ -12,6 +13,15 @@ SURVEY.md §1.4 / §2.9 F9. Postings for one segment row are stored as
   table — the deliberate space-for-shuffle trade documented in
   DESIGN.md (a dl of <16k costs ≤2 bytes/posting; it removes a
   10^12-row docid join from the query hot path).
+- positions (format v4, phrase/proximity queries): posting i carries
+  its tf_i term positions (0-based token index in the doc), so the
+  stream holds Σtf values, delta-gapped WITHIN each posting (first
+  value of each posting stored absolute — per-posting streams are
+  therefore independently concatenable and sliceable at posting
+  boundaries). The stream sits AFTER the dls stream inside each
+  block, so ``decode_block`` (the BM25 scoring hot path) never reads
+  or skips a single position byte — only ``decode_block_positions``
+  pays for them.
 
 VByte format: little-endian 7-bit groups, MSB set = continuation
 (final byte has MSB clear). Encode/decode are numpy-vectorized —
@@ -84,6 +94,42 @@ def vbyte_decode(buf: np.ndarray, n: int, offset: int = 0) -> tuple[np.ndarray, 
     return out, offset + int(ends[-1]) + 1
 
 
+def _pos_deltas(flat_pos: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Delta-gap a flat position stream with a reset (absolute value) at
+    each posting start. Positions within one posting must be strictly
+    ascending (a term occurs at distinct, increasing token indexes)."""
+    flat_pos = np.asarray(flat_pos, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = flat_pos.size
+    if int(tfs.sum()) != total:
+        raise ValueError(f"positions: Σtf={int(tfs.sum())} != len(flat)={total}")
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    deltas = np.empty(total, dtype=np.int64)
+    deltas[0] = flat_pos[0]
+    np.subtract(flat_pos[1:], flat_pos[:-1], out=deltas[1:])
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    deltas[starts] = flat_pos[starts]
+    # validity: within-posting deltas strictly positive, absolutes ≥ 0
+    chk = deltas.copy()
+    chk[starts] = 1
+    if chk.min() <= 0 or flat_pos[starts].min() < 0:
+        raise ValueError("positions must be strictly ascending within each posting")
+    return deltas
+
+
+def _pos_undelta(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_pos_deltas` — segmented cumsum, vectorized."""
+    deltas = deltas.astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if deltas.size == 0:
+        return deltas
+    c = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    base = c[starts] - deltas[starts]      # stream-sum before each posting
+    return c - np.repeat(base, tfs)
+
+
 def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
     """Encode one posting run (docids strictly ascending)."""
     docids = np.asarray(docids, dtype=np.int64)
@@ -119,6 +165,7 @@ def encode_blocks(
     block_size: int = 128,
     k1: float | None = None,
     b: float | None = None,
+    positions: np.ndarray | None = None,
 ) -> tuple[bytes, list[tuple[int, float, int]]]:
     """Encode a posting run as independent fixed-size blocks.
 
@@ -130,6 +177,12 @@ def encode_blocks(
     surviving blocks. ``max_partial`` is the exact per-block maximum of
     the BM25 tf/length factor tf/(tf + k1*(1-b+b*dl/avgdl)) — idf is
     applied at query time.
+
+    ``positions`` (format v4): the FLAT position stream of the run —
+    posting i owns the next tf_i values. Encoded as a fourth VByte
+    stream at the tail of each block (module docstring); block cut
+    points land on posting boundaries, so each block's position
+    section is self-contained.
     """
     from .config import B, K1  # late import to keep codec numpy-only at module load
 
@@ -172,18 +225,28 @@ def encode_blocks(
                    + (d_off[ends_idx] - d_off[starts_idx])
                    + (t_off[ends_idx] - t_off[starts_idx])
                    + (l_off[ends_idx] - l_off[starts_idx]))
+    if positions is not None:
+        p_bytes, p_len = _vbyte_encode_arr(_pos_deltas(positions, tfs))
+        p_off = np.concatenate(([0], np.cumsum(p_len)))
+        # position-VALUE index of each posting boundary → of each block
+        psum = np.concatenate(([0], np.cumsum(tfs)))
+        p_lo, p_hi = psum[starts_idx], psum[ends_idx]
+        block_bytes = block_bytes + (p_off[p_hi] - p_off[p_lo])
     out_off = np.concatenate(([0], np.cumsum(block_bytes)))
     out = np.empty(int(out_off[-1]), dtype=np.uint8)
     max_partials = np.maximum.reduceat(partials, starts_idx)
     blocks: list[tuple[int, float, int]] = []
     for bi in range(starts_idx.size):                           # pure slice copies
         s, e, pos = starts_idx[bi], ends_idx[bi], int(out_off[bi])
-        for src, off_arr, vlo, vhi in (
+        copies = [
             (h_bytes, h_off, bi, bi + 1),
             (d_bytes, d_off, s, e),
             (t_bytes, t_off, s, e),
             (l_bytes, l_off, s, e),
-        ):
+        ]
+        if positions is not None:
+            copies.append((p_bytes, p_off, int(p_lo[bi]), int(p_hi[bi])))
+        for src, off_arr, vlo, vhi in copies:
             lo, hi = int(off_arr[vlo]), int(off_arr[vhi])
             out[pos:pos + hi - lo] = src[lo:hi]
             pos += hi - lo
@@ -200,6 +263,53 @@ def decode_block(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarray, 
     tfs, off = vbyte_decode(buf, n, off)
     dls, off = vbyte_decode(buf, n, off)
     return np.cumsum(deltas.astype(np.int64)), tfs.astype(np.int64), dls.astype(np.int64)
+
+
+def decode_block_positions(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a v4 block INCLUDING its position stream ->
+    (docids, tfs, dls, flat_positions); posting i owns the next tf_i
+    position values. Raises on a v3 (position-less) payload — the
+    stream would be truncated."""
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    (n_arr, off) = vbyte_decode(buf, 1, offset)
+    n = int(n_arr[0])
+    deltas, off = vbyte_decode(buf, n, off)
+    tfs, off = vbyte_decode(buf, n, off)
+    dls, off = vbyte_decode(buf, n, off)
+    tfs = tfs.astype(np.int64)
+    pdeltas, off = vbyte_decode(buf, int(tfs.sum()), off)
+    return (np.cumsum(deltas.astype(np.int64)), tfs, dls.astype(np.int64),
+            _pos_undelta(pdeltas, tfs))
+
+
+def decode_all_blocks_positions(payload: bytes | np.ndarray, offsets: list[int] | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode every block of a v4 blocked run with positions."""
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    ds, ts, ls, ps = [], [], [], []
+    for off in offsets:
+        d, t, l, p = decode_block_positions(buf, int(off))
+        ds.append(d); ts.append(t); ls.append(l); ps.append(p)
+    if not ds:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+    return (np.concatenate(ds), np.concatenate(ts),
+            np.concatenate(ls), np.concatenate(ps))
+
+
+def permute_poslists(flat_pos: np.ndarray, tfs: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Reorder a flat per-posting position stream to follow a posting
+    permutation (``order`` over postings, e.g. from a docid argsort):
+    posting order[i]'s position segment becomes segment i. Vectorized
+    segment gather — no per-posting Python loop."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if flat_pos.size == 0:
+        return np.asarray(flat_pos, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    l = tfs[order]
+    s = starts[order]
+    out_starts = np.concatenate(([0], np.cumsum(l)[:-1]))
+    idx = np.repeat(s - out_starts, l) + np.arange(int(l.sum()), dtype=np.int64)
+    return np.asarray(flat_pos, dtype=np.int64)[idx]
 
 
 def decode_all_blocks(payload: bytes | np.ndarray, offsets: list[int] | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

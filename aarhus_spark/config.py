@@ -48,4 +48,10 @@ HEAD_DF_QUANTILE: float = 0.999
 #   2 = v0.2 layered store (segments = head overlay; tail from fragments)
 #   3 = v0.3 layered store + per-row first_docid (chunk-parallel WAND
 #       range-join pruning needs the true low end of each row's span)
-FORMAT_VERSION: int = 3
+#   4 = v0.4 positional postings: each block carries a fourth VByte
+#       stream of per-posting term positions (codec.py) for phrase /
+#       proximity queries. The first three streams are byte-identical
+#       to v3 and the position stream sits after them, so BM25 scoring
+#       never touches it — but a v3 reader would mis-serve a v4 dir's
+#       tail/segment split assumptions, hence the version bump.
+FORMAT_VERSION: int = 4

@@ -7,7 +7,11 @@ Pipeline (one ``build_index`` call):
   → P5      E(html) via vectorized Arrow UDF where text is null
   → T8      global lexicographic dense docID assignment (2-pass, no
             monotonically_increasing_id)
-  → T1      tokenize → (docid, term, tf, dl) rows via mapInPandas
+  → T1      tokenize → per-OCCURRENCE (docid, term, pos, dl) rows via
+            mapInPandas (format v4: pos = 0-based token index feeds the
+            positional posting stream for phrase queries; tf is
+            recovered vectorized in the encoder as the per-docid run
+            length, so the tokenizer no longer needs a groupby)
   → T2-T4   doclens, term dictionary (df, cf), corpus stats (N, avgdl)
   → T5      head-term skew salting: docid-RANGE salts (contiguous
             fragments → the merge is an ordered concat, delta-gaps small)
@@ -53,12 +57,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codec import decode_all_blocks, encode_blocks
+from ..codec import decode_all_blocks_positions, encode_blocks, permute_poslists
 from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
                       MAX_POSTINGS_PER_ROW, SALTS)
 from ..textops import extract_series, tokenize_series
 
 TOKENS_SCHEMA = "docid long, term string, tf long, dl long"
+
+# per-occurrence token stream (format v4): one row per token OCCURRENCE
+# (docid, term, pos, dl); tf is implicit (run length per docid within a
+# (term, salt) run — recovered vectorized in the fragment encoder)
+OCCUR_SCHEMA = "docid long, term string, pos int, dl long"
 
 # pyarrow schema for task-side fragment parquet writes (the
 # per-bucket checkpoint unit; see _make_fragment_encoder)
@@ -360,12 +369,25 @@ def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
                          salts: int, n_buckets: int, docid_offset: int) -> DataFrame:
     """T1+T5 in one python pass: tokenize AND attach the shuffle key.
 
+    Format v4: emits per-OCCURRENCE rows (docid, term, pos, dl, bucket)
+    — pos is the 0-based index in the doc's (filtered) token stream, the
+    value the positional posting stream stores for phrase queries. The
+    tf groupby the per-posting stream needed is GONE from this pass
+    (cheaper tokenize); the encoder recovers tf as the per-docid run
+    length after the big sort, which it gets for free.
+
     salt/is_head/bucket are all derived vectorized inside the batch
     (``pd.util.hash_array`` — C siphash with a fixed key, deterministic
     across processes, which the per-bucket resume relies on), so the
     token stream needs NO broadcast join and carries only one extra
     int32 through the big shuffle. The encoder recomputes salt/is_head
     from the same closure inputs.
+
+    Scale note: the shuffle now moves one row per occurrence instead of
+    one per posting (~1.2-1.5× rows on natural text, cf/df), each row
+    4 bytes wider (pos int32). Measured cost on the 1M-page scaling
+    protocol is recorded in BENCH/BASELINE.md — the positional index is
+    what makes phrase queries (ES match_phrase parity) possible at all.
     """
     head_set = frozenset(head_terms)
 
@@ -378,16 +400,17 @@ def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
             ex = ex.explode("term", ignore_index=True).dropna(subset=["term"])
             if len(ex) == 0:
                 continue
-            tf = ex.groupby(["docid", "term"], sort=False).size().rename("tf").reset_index()
-            tf["dl"] = tf.groupby("docid", sort=False)["tf"].transform("sum")
-            salt, _ = _salt_of(tf["term"], tf["docid"], head_set,
+            grp = ex.groupby("docid", sort=False)
+            ex["pos"] = grp.cumcount().astype(np.int32)
+            ex["dl"] = grp["term"].transform("size").astype(np.int64)
+            salt, _ = _salt_of(ex["term"], ex["docid"], head_set,
                                n_docs, salts, docid_offset)
-            th = pd.util.hash_array(tf["term"].to_numpy(object))
-            tf["bucket"] = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            th = pd.util.hash_array(ex["term"].to_numpy(object))
+            ex["bucket"] = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
                             % np.uint64(n_buckets)).astype(np.int32)
-            yield tf[["docid", "term", "tf", "dl", "bucket"]]
+            yield ex[["docid", "term", "pos", "dl", "bucket"]]
 
-    return docs.mapInPandas(tok, schema=TOKENS_SCHEMA + ", bucket int")
+    return docs.mapInPandas(tok, schema=OCCUR_SCHEMA + ", bucket int")
 
 
 # ---------------------------------------------------------------------------
@@ -494,14 +517,28 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
         summaries: list[dict] = []
 
         def flush_run(bucket: int, term: str, salt: int, is_head: bool,
-                      docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> None:
+                      occ_docids: np.ndarray, occ_pos: np.ndarray,
+                      occ_dls: np.ndarray) -> None:
+            """One (term, salt) run of OCCURRENCE rows, sorted by
+            (docid, pos): collapse to postings (tf = run length per
+            docid, vectorized) and encode with the position stream."""
             nonlocal sink
             if sink is None or sink.bucket != bucket:
                 if sink is not None:
                     summaries.append(sink.close())
                 sink = _BucketSink(bucket)
-            payload, blocks = encode_blocks(docids, tfs, dls, avgdl, BLOCK_SIZE)
-            sink.rows_in += int(docids.size)
+            if occ_docids.size > 1:
+                change = np.flatnonzero(occ_docids[1:] != occ_docids[:-1]) + 1
+                ustarts = np.concatenate(([0], change))
+            else:
+                ustarts = np.zeros(1, dtype=np.int64)
+            uends = np.concatenate((ustarts[1:], [occ_docids.size]))
+            docids = occ_docids[ustarts]
+            tfs = uends - ustarts
+            dls = occ_dls[ustarts]
+            payload, blocks = encode_blocks(docids, tfs, dls, avgdl, BLOCK_SIZE,
+                                            positions=occ_pos)
+            sink.rows_in += int(occ_docids.size)
             sink.add({
                 "term": term,
                 "salt": salt,
@@ -549,11 +586,11 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
             bucket_arr = pdf["bucket"].to_numpy()
             head_arr = pdf["is_head"].to_numpy()
             docid_arr = pdf["docid"].to_numpy(np.int64)
-            tf_arr = pdf["tf"].to_numpy(np.int64)
+            pos_arr = pdf["pos"].to_numpy(np.int64)
             dl_arr = pdf["dl"].to_numpy(np.int64)
             for s, e in zip(starts.tolist(), ends.tolist()):
                 flush_run(int(bucket_arr[s]), term_arr[s], int(salt_arr[s]),
-                          bool(head_arr[s]), docid_arr[s:e], tf_arr[s:e], dl_arr[s:e])
+                          bool(head_arr[s]), docid_arr[s:e], pos_arr[s:e], dl_arr[s:e])
 
         for pdf in batches:
             consume(pdf, final=False)
@@ -583,18 +620,23 @@ def _make_merger(avgdl: float, max_postings_per_row: int):
             }])
         # k-way merge: fragments are docid-range-disjoint (range salting)
         g = g.sort_values("salt")
-        parts = [decode_all_blocks(p, [b["offset"] for b in blocks])
+        parts = [decode_all_blocks_positions(p, [b["offset"] for b in blocks])
                  for p, blocks in zip(g["postings"], g["blocks"])]
         docids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
+        flat_pos = np.concatenate([p[3] for p in parts])
         order = np.argsort(docids, kind="stable")
+        flat_pos = permute_poslists(flat_pos, tfs, order)
         docids, tfs, dls = docids[order], tfs[order], dls[order]
         df_total, cf_total = int(docids.size), int(tfs.sum())
+        psum = np.concatenate(([0], np.cumsum(tfs)))
         rows = []
         for ci, s in enumerate(range(0, df_total, max_postings_per_row)):
             e = min(s + max_postings_per_row, df_total)
-            payload, blocks = encode_blocks(docids[s:e], tfs[s:e], dls[s:e], avgdl, BLOCK_SIZE)
+            payload, blocks = encode_blocks(
+                docids[s:e], tfs[s:e], dls[s:e], avgdl, BLOCK_SIZE,
+                positions=flat_pos[int(psum[s]):int(psum[e])])
             rows.append({
                 "term": term, "df": df_total, "cf": cf_total, "chunk": ci,
                 "n": e - s,
@@ -762,8 +804,8 @@ def encode_merge_finalize(
     """The shared back half of every index-producing job (build_index
     and compact_indexes): resume-filter → THE big bucket shuffle →
     fragment encode with the per-bucket checkpoint sink → head-merge
-    overlay → dictionary. ``salted`` is the token stream
-    (docid, term, tf, dl, bucket). Returns n_terms."""
+    overlay → dictionary. ``salted`` is the per-occurrence token stream
+    (docid, term, pos, dl, bucket). Returns n_terms."""
     # --- resume filter: only buckets without a manifest ---
     done = _done_buckets(paths.manifests) if resume else set()
     if not resume:
@@ -779,7 +821,7 @@ def encode_merge_finalize(
     if len(done) < n_buckets:
         summary = (
             salted.repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term", "docid")
+            .sortWithinPartitions("bucket", "term", "docid", "pos")
             .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests,
                                                 head_terms, n_docs, salts, docid_offset,
                                                 committer=committer),

@@ -9,8 +9,9 @@ docids — WITHOUT re-reading or re-tokenizing any source page:
    uses), which reproduces the monolithic assignment exactly — a
    monolithic build's docid IS the url's global rank;
 2. every fragment row of every input dir is decoded back to its
-   (docid, term, tf, dl) token rows (numpy, mapInPandas — the encoder's
-   exact inverse, bit-lossless by the codec roundtrip property);
+   per-occurrence (docid, term, pos, dl) token rows (numpy,
+   mapInPandas — the encoder's exact inverse, bit-lossless by the
+   codec roundtrip property, positions included);
 3. token rows shuffle-join the docid map (O(postings), the same order
    as the build's own big shuffle) and flow into the shared back half
    of the build pipeline (build.encode_merge_finalize): salt/bucket →
@@ -25,10 +26,14 @@ every BM25 score is bit-identical (asserted in tests/test_compact.py).
 Head-term classification uses the union DICTIONARY (exact df), not a
 sample — compaction already knows every term's global df for free.
 
-What compaction cannot do: resolve re-crawled urls (that needs the new
-page text — see operators/incremental.py's append-only contract). It
-removes the multi-dir query overhead (per-dir scans, block-bound
-rescaling) after a chain of deltas has accumulated.
+Tombstone purge (re-crawl overwrite chains, operators/incremental.py):
+docids tombstoned anywhere in the chain are dropped from BOTH the
+union doclens (so the superseded url contributes exactly one live row
+to the docid ranking) and the decoded token stream (broadcast anti
+joins — the dead set is bounded by re-crawls per chain). The compacted
+index is therefore bit-equal to a monolithic latest-wins rebuild and
+carries no tombstones itself — the physical purge ES's force-merge
+performs for deleted docs.
 """
 
 from __future__ import annotations
@@ -43,13 +48,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import decode_block
+from ..codec import decode_block_positions
 from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
                       MAX_POSTINGS_PER_ROW, SALTS)
 from .build import (FragmentCommitter, IndexPaths, _salt_of,
                     encode_merge_finalize)
 
-TOKENS_SCHEMA = "dir_id int, docid long, term string, tf long, dl long"
+# per-occurrence (format v4): tf is implicit (run length), pos explicit
+TOKENS_SCHEMA = "dir_id int, docid long, term string, pos int, dl long"
 
 
 def _union_doclens(spark: SparkSession, dirs: list[str]) -> DataFrame:
@@ -101,23 +107,28 @@ def _assign_new_docids(spark: SparkSession, doclens: DataFrame,
 
 
 def decode_fragments_to_tokens(spark: SparkSession, dirs: list[str]) -> DataFrame:
-    """(dir_id, docid, term, tf, dl) rows from every fragment row of
-    every dir — the fragment encoder's exact inverse."""
+    """Per-occurrence (dir_id, docid, term, pos, dl) rows from every
+    fragment row of every dir — the fragment encoder's exact inverse
+    (postings are expanded back to tf rows each, carrying the stored
+    positions, so the re-encode reproduces the position stream
+    bit-identically)."""
     def make_dec(dir_id: int):
         def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for term, payload, blks in zip(pdf["term"], pdf["postings"],
                                                pdf["blocks"]):
                     buf = np.frombuffer(payload, dtype=np.uint8)
-                    parts = [decode_block(buf, int(b["offset"])) for b in blks]
+                    parts = [decode_block_positions(buf, int(b["offset"]))
+                             for b in blks]
                     if not parts:
                         continue
+                    tfs = np.concatenate([p[1] for p in parts])
                     yield pd.DataFrame({
                         "dir_id": np.int32(dir_id),
-                        "docid": np.concatenate([p[0] for p in parts]),
+                        "docid": np.repeat(np.concatenate([p[0] for p in parts]), tfs),
                         "term": term,
-                        "tf": np.concatenate([p[1] for p in parts]),
-                        "dl": np.concatenate([p[2] for p in parts]),
+                        "pos": np.concatenate([p[3] for p in parts]).astype(np.int32),
+                        "dl": np.repeat(np.concatenate([p[2] for p in parts]), tfs),
                     })
         return dec
 
@@ -162,9 +173,9 @@ def salt_bucket_tokens(tokens: DataFrame, head_terms: list[str], n_docs: int,
             th = pd.util.hash_array(pdf["term"].to_numpy(object))
             bucket = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
                       % np.uint64(n_buckets)).astype(np.int32)
-            yield pdf[["docid", "term", "tf", "dl"]].assign(bucket=bucket)
+            yield pdf[["docid", "term", "pos", "dl"]].assign(bucket=bucket)
 
-    return tokens.mapInPandas(key, schema="docid long, term string, tf long, "
+    return tokens.mapInPandas(key, schema="docid long, term string, pos int, "
                                           "dl long, bucket int")
 
 
@@ -220,10 +231,21 @@ def compact_indexes(
     def stage(name: str, t0: float, **kw) -> None:
         metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
 
-    # --- new docid map + corpus stats (one pass over the union doclens) ---
+    # --- new docid map + corpus stats (one pass over the union doclens);
+    #     tombstoned docids are purged first (module docstring) ---
     t0 = time.time()
-    id_map, n_docs, sumdl = _assign_new_docids(
-        spark, _union_doclens(spark, dirs), n_partitions)
+    from .search import load_tombstones
+    dead, _dl_dead = load_tombstones(spark, dirs)
+    union_dl = _union_doclens(spark, dirs)
+    dead_df = None
+    if dead.size:
+        dead_df = spark.createDataFrame(
+            [(int(x),) for x in dead], "dead_docid long")
+        union_dl = union_dl.join(
+            F.broadcast(dead_df),
+            union_dl["old_docid"] == dead_df["dead_docid"],
+            "left_anti")
+    id_map, n_docs, sumdl = _assign_new_docids(spark, union_dl, n_partitions)
     avgdl = float(sumdl) / n_docs if n_docs else 0.0
     id_map.select("docid", "url", "dl", "warc_ts") \
         .write.mode("overwrite").parquet(paths.doclens)
@@ -248,12 +270,14 @@ def compact_indexes(
     stage("compact:head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
 
     # --- decode → remap docids (the one extra O(postings) shuffle
-    #     compaction pays vs a build: the join against the id map) ---
+    #     compaction pays vs a build: the join against the id map).
+    #     Tombstoned docs purge themselves here: they are absent from
+    #     the id map, so the INNER join drops their token rows. ---
     tokens = (decode_fragments_to_tokens(spark, dirs)
               .withColumnRenamed("docid", "old_docid")
               .join(id_map.select("dir_id", "old_docid", "docid"),
                     ["dir_id", "old_docid"])
-              .select("docid", "term", "tf", "dl"))
+              .select("docid", "term", "pos", "dl"))
     salted = salt_bucket_tokens(tokens, head_terms, n_docs, salts, n_buckets)
 
     n_terms = encode_merge_finalize(

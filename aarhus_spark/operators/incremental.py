@@ -31,6 +31,19 @@ keep serving the stale base version. ``new_pages_only`` therefore
 DETECTS re-crawls (doclens stores each url's winning warc_ts) and, by
 default, raises — routing them to a rebuild/compaction of the affected
 base is the caller's decision, not something to paper over silently.
+
+RE-CRAWL OVERWRITE (``on_recrawl='tombstone'``, ES overwrite-by-_id
+parity): the delta additionally indexes the re-crawled pages (new
+docids past the chain) and writes a ``tombstones/`` parquet into the
+delta dir — one (docid, dl, url) row per superseded base document.
+Query time then serves EXACTLY the monolithic latest-wins results
+(driver-verified): dead docids are masked from every candidate set,
+N/avgdl are corrected from the tombstoned dl's, and per-query-term df
+is corrected by counting dead members during the (already-necessary)
+candidate decode (operators/search.py `_chain_stats` /
+`_global_df_map`). Compaction purges tombstones physically
+(operators/compact.py) — the chain + mask is the cheap steady state
+between compactions, the compacted index the clean state after.
 """
 
 from __future__ import annotations
@@ -56,7 +69,10 @@ def new_pages_only(spark: SparkSession, pages: DataFrame, base_dirs: list[str],
       must compact/rebuild the affected base index;
     - ``"ignore"``: documented stale-serving — drop them like any
       already-indexed url (the base keeps winning even though a
-      monolithic rebuild would prefer the newer crawl).
+      monolithic rebuild would prefer the newer crawl);
+    - ``"tombstone"``: overwrite semantics — use
+      :func:`split_delta_pages` / ``build_delta(on_recrawl='tombstone')``
+      (this function only handles the url-disjoint part).
     """
     if on_recrawl not in ("error", "ignore"):
         raise ValueError(f"on_recrawl must be 'error' or 'ignore', got {on_recrawl!r}")
@@ -73,10 +89,56 @@ def new_pages_only(spark: SparkSession, pages: DataFrame, base_dirs: list[str],
                     f"{n_conflicts} page row(s) re-crawl urls already in base index "
                     f"{d} with a newer warc_ts. A url-level delta cannot represent "
                     f"them (the stale base version would keep being served); "
-                    f"compact/rebuild that base index, or pass on_recrawl='ignore' "
-                    f"to accept serving the base version.")
+                    f"compact/rebuild that base index, pass on_recrawl='ignore' "
+                    f"to accept serving the base version, or "
+                    f"on_recrawl='tombstone' to overwrite (module docstring).")
         out = out.join(done.select("url"), "url", "left_anti")
     return out
+
+
+def split_delta_pages(spark: SparkSession, pages: DataFrame,
+                      base_dirs: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Overwrite-mode page split: returns ``(delta_pages, tombstones)``.
+
+    - ``delta_pages``: pages whose url is absent from every base index,
+      PLUS re-crawled pages (url present but with a strictly newer
+      warc_ts than the indexed winner — the rows a monolithic
+      latest-wins rebuild would prefer over the base version);
+    - ``tombstones``: (docid, dl, url) of the superseded base docs.
+
+    Both sides are url-level joins against the (tiny relative to the
+    corpus) doclens sinks — the same J4 shape as the append-only path.
+    A url re-crawled with an OLDER-or-equal warc_ts is NOT a re-crawl
+    (the frozen latest-wins dedup would keep the base version) and is
+    dropped like any already-indexed url.
+    """
+    from .search import load_tombstones
+
+    # urls already superseded by an EARLIER tombstone delta are dead in
+    # their original dir — only the LIVE copy of a url may be re-crawled
+    # (otherwise a twice-re-crawled url would enter the delta twice and
+    # its dead docid would be tombstoned twice)
+    dead, _ = load_tombstones(spark, base_dirs)
+    dead_list = [int(x) for x in dead]
+
+    fresh = pages
+    recrawled = None
+    tombstones = None
+    for d in base_dirs:
+        done = spark.read.parquet(IndexPaths(d).doclens)
+        if dead_list:
+            done = done.filter(~F.col("docid").isin(dead_list))
+        base = done.select("url", "docid", "dl",
+                           F.col("warc_ts").alias("base_ts"))
+        hits = (pages.join(base, "url")
+                .filter(F.col("warc_ts") > F.col("base_ts")))
+        t = hits.select("docid", "dl", "url")
+        r = hits.select(*pages.columns)
+        tombstones = t if tombstones is None else tombstones.unionByName(t)
+        recrawled = r if recrawled is None else recrawled.unionByName(r)
+        fresh = fresh.join(done.select("url"), "url", "left_anti")
+    delta_pages = fresh if recrawled is None else fresh.unionByName(recrawled)
+    return delta_pages, tombstones
 
 
 def build_delta(
@@ -89,9 +151,22 @@ def build_delta(
 ) -> dict:
     """Build a delta index of the not-yet-indexed pages. Returns stats
     (N may be 0 → no index is written and {} is returned). Raises on
-    re-crawled urls unless on_recrawl='ignore' (module docstring)."""
+    re-crawled urls unless on_recrawl='ignore' (drop them, serve stale)
+    or 'tombstone' (index them + tombstone the superseded base docs —
+    overwrite semantics, module docstring)."""
     base_dirs = [base_dirs] if isinstance(base_dirs, str) else list(base_dirs)
     offset = sum(int(load_stats(d)["N"]) for d in base_dirs)
+    if on_recrawl == "tombstone":
+        fresh, tombstones = split_delta_pages(spark, pages, base_dirs)
+        stats = build_index(spark, fresh, delta_dir, docid_offset=offset,
+                            **build_kwargs)
+        if tombstones is not None:
+            # written AFTER the index commit: a killed build leaves no
+            # tombstones behind, so the chain keeps serving the base
+            # versions (stale-but-consistent) until the delta exists
+            tombstones.write.mode("overwrite").parquet(
+                os.path.join(delta_dir, "tombstones"))
+        return stats
     fresh = new_pages_only(spark, pages, base_dirs, on_recrawl=on_recrawl)
     return build_index(spark, fresh, delta_dir, docid_offset=offset, **build_kwargs)
 

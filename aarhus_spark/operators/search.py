@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import decode_block
+from ..codec import decode_block, decode_block_positions
 from ..config import FORMAT_VERSION, TOP_K
 from ..scoring import idf as _idf
 from ..textops import tokenize_series
@@ -91,6 +91,54 @@ def load_stats_multi(dirs: list[str]) -> tuple[int, float, dict[str, float]]:
         per_dir[d] = float(st["avgdl"])
     avgdl = sumdl / n_total if n_total else 0.0
     return n_total, avgdl, per_dir
+
+
+def load_tombstones(spark: SparkSession, dirs) -> tuple[np.ndarray, int]:
+    """Dead (tombstoned) docids over an index chain, with their Σdl.
+
+    A delta built with ``on_recrawl='tombstone'`` (operators/
+    incremental.py) writes a ``tombstones/`` parquet into its dir:
+    one (docid, dl, url) row per base document superseded by a
+    re-crawl. Query time must (a) never return a dead docid, and
+    (b) score with corpus stats AS IF the dead docs were gone —
+    N_eff, avgdl_eff here; per-term df correction in
+    :func:`_global_df_map` (the monolithic-rebuild equivalence the
+    harness verifies depends on all three).
+
+    Returns (sorted dead docid array, Σdl of dead docs). Collected to
+    the driver: tombstones are bounded by re-crawls per delta between
+    compactions — the same cardinality class as the query-term lists
+    the scorers already broadcast. Compaction purges them.
+    """
+    import pandas as pd
+    frames = []
+    for d in _as_dirs(dirs):
+        tpath = os.path.join(d, "tombstones")
+        if os.path.isdir(tpath) and any(
+                f.endswith(".parquet") for f in os.listdir(tpath)):
+            frames.append(spark.read.parquet(tpath).select("docid", "dl").toPandas())
+    if not frames:
+        return np.empty(0, dtype=np.int64), 0
+    pdf = pd.concat(frames, ignore_index=True)
+    dead = np.sort(pdf["docid"].to_numpy(np.int64))
+    return dead, int(pdf["dl"].sum())
+
+
+def _chain_stats(spark: SparkSession, index_dir) -> tuple[int, float, dict[str, float], np.ndarray]:
+    """Combined (N_eff, avgdl_eff, per-dir avgdl, dead docids) for an
+    index chain, tombstones applied: N_eff = ΣN − |dead|, avgdl_eff =
+    (Σdl − Σdl_dead)/N_eff. The per-dir avgdl (for block-bound
+    rescaling) stays the BUILD-time value — the stored bounds were
+    computed with it; max(1, avgdl_eff/avgdl_dir) remains a safe upper
+    bound by the monotonicity proof in load_stats_multi."""
+    dirs = _as_dirs(index_dir)
+    n_total, avgdl, per_dir = load_stats_multi(dirs)
+    dead, dl_dead = load_tombstones(spark, dirs)
+    if dead.size:
+        sumdl = avgdl * n_total - dl_dead
+        n_total -= int(dead.size)
+        avgdl = sumdl / n_total if n_total else 0.0
+    return n_total, avgdl, per_dir, dead
 
 
 def docid_domain(dirs: list[str]) -> tuple[int, int]:
@@ -174,11 +222,23 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
     return out
 
 
-def _global_df_map(spark: SparkSession, index_dir, terms: list[str]) -> dict[str, int]:
+def _global_df_map(spark: SparkSession, index_dir, terms: list[str],
+                   seg: DataFrame | None = None,
+                   dead: np.ndarray | None = None) -> dict[str, int]:
     """Global df per candidate term = Σ df over the per-dir dictionaries
     (tiny: ≤ |query terms| rows collected). Reads the dictionary parquet
     with a pushed ``term IN`` filter instead of aggregating the segment
-    rows — the segments are then scanned exactly once, by the scorer."""
+    rows — the segments are then scanned exactly once, by the scorer.
+
+    With tombstones (``dead`` non-empty and ``seg`` given): df must
+    count LIVE postings only — a monolithic rebuild would never have
+    indexed the superseded doc. The dictionaries can't know which docs
+    died after their build, so the correction is computed at query time
+    from the candidate rows themselves: one extra distributed pass that
+    decodes ONLY blocks whose docid span intersects the dead set
+    (searchsorted skip — on a mostly-live index nearly every block is
+    skipped undecoded) and counts dead members per term. Bounded by the
+    query terms' postings, like the scorer scan itself."""
     out: dict[str, int] = {}
     for d in _as_dirs(index_dir):
         rows = (spark.read.parquet(IndexPaths(d).dictionary)
@@ -186,6 +246,35 @@ def _global_df_map(spark: SparkSession, index_dir, terms: list[str]) -> dict[str
                 .select("term", "df").collect())
         for r in rows:
             out[r["term"]] = out.get(r["term"], 0) + int(r["df"])
+    if dead is not None and dead.size and seg is not None and out:
+        dead_arr = dead  # closure capture (sorted)
+
+        def count_dead(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for term, first, payload, blks in zip(
+                        pdf["term"], pdf["first_docid"], pdf["postings"], pdf["blocks"]):
+                    buf = np.frombuffer(payload, dtype=np.uint8)
+                    c, prev_last = 0, int(first) - 1
+                    for b in blks:
+                        last = int(b["last_docid"])
+                        lo = np.searchsorted(dead_arr, prev_last + 1, side="left")
+                        hi = np.searchsorted(dead_arr, last, side="right")
+                        if hi > lo:  # some dead docid falls in this block's span
+                            d_ids, _, _ = decode_block(buf, int(b["offset"]))
+                            c += int(np.isin(d_ids, dead_arr[lo:hi],
+                                             assume_unique=True).sum())
+                        prev_last = last
+                    if c:
+                        rows.append((term, c))
+                if rows:
+                    yield pd.DataFrame(rows, columns=["term", "dead_n"])
+
+        dc = (seg.select("term", "first_docid", "blocks", "postings")
+              .mapInPandas(count_dead, schema="term string, dead_n long")
+              .groupBy("term").agg(F.sum("dead_n").alias("dead_n")).collect())
+        for r in dc:
+            out[r["term"]] = out[r["term"]] - int(r["dead_n"])
     return out
 
 
@@ -214,13 +303,13 @@ def search_taat(
     disjunctive fold already does: zero extra shuffles."""
     from pyspark.sql.window import Window
 
-    n_docs, avgdl, _ = load_stats_multi(_as_dirs(index_dir))
+    n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(spark, index_dir, terms)   # tiny; closure-captured
+    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..scoring import partial as _partial
@@ -243,6 +332,9 @@ def search_taat(
 
     decoded = seg.select("term", "blocks", "postings").mapInPandas(
         decode, schema="term string, docid long, contrib double")
+    if dead.size:
+        dead_df = spark.createDataFrame([(int(x),) for x in dead], "docid long")
+        decoded = decoded.join(F.broadcast(dead_df), "docid", "left_anti")
 
     scored = (
         decoded.join(F.broadcast(qterms), "term")
@@ -271,12 +363,30 @@ def search_taat(
 
 def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                     dfg: dict | None = None,
-                    range_lo: int = 0, range_hi: int | None = None) -> pd.DataFrame:
+                    range_lo: int = 0, range_hi: int | None = None,
+                    require_n: int | None = None,
+                    dead: np.ndarray | None = None) -> pd.DataFrame:
     """When (range_lo, range_hi) restrict the docid space, only docs in
     that range are scored (blocks outside are never decoded) — the
     chunk-parallel mode of :func:`search_wand_ranges`. Exact within the
     range: a doc's full term set is present in any group that contains
-    rows overlapping its docid."""
+    rows overlapping its docid.
+
+    ``require_n`` (conjunctive / ES bool.must on the WAND path): a doc
+    scores only if it matches exactly ``require_n`` distinct query
+    terms (= all of them; the caller passes |analyzed terms| and
+    handles the OOV→empty case). Block-max pruning stays valid — the
+    disjunctive interval bound is an upper bound for the conjunctive
+    subset — and two extra skips apply: intervals covered by fewer
+    than ``require_n`` distinct terms can't contain a match, and the
+    per-doc term count falls out of the contribution entries for free
+    (a doc appears in at most one covering block per term, so entries
+    per doc = matched distinct terms).
+
+    ``dead`` (tombstoned docids, sorted int64): masked out of every
+    candidate set before the heap — the re-crawl overwrite path
+    (operators/incremental.py) marks superseded base docids dead and
+    query time must never return them."""
     from ..scoring import partial as _partial
 
     if range_hi is None:
@@ -347,6 +457,8 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     for iv in order:
         if len(heap) >= k and ubs[iv] < theta:
             break  # every remaining interval is strictly below the kth score
+        if require_n is not None and len({blocks[b][3] for b in cover[iv]}) < require_n:
+            continue  # conjunctive: some mandatory term absent from the interval
         lo_d = max(int(starts[iv]), range_lo)
         hi_d = min(int(ends[iv]), range_hi)
         if lo_d > hi_d:
@@ -369,6 +481,18 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
         uniq, inv = np.unique(alld, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, allc)  # adds in array order = sorted term order
+        if require_n is not None:
+            # entries per doc = matched distinct terms (≤1 block/term/doc)
+            keep = np.bincount(inv, minlength=uniq.size) == require_n
+            uniq, scores = uniq[keep], scores[keep]
+            if uniq.size == 0:
+                continue
+        if dead is not None and dead.size:
+            keep = ~np.isin(uniq, dead)
+            if not keep.all():
+                uniq, scores = uniq[keep], scores[keep]
+                if uniq.size == 0:
+                    continue
         if len(heap) >= k:
             # numpy-mask before the Python heap loop: a candidate with
             # score < theta can never enter the top-k — (sc, -d) < (theta,
@@ -398,27 +522,42 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     })
 
 
+def _qn_map(qterms: DataFrame) -> dict[int, int]:
+    """|distinct analyzed terms| per query — the conjunctive target
+    count (OOV terms included, so a must-clause on a missing term
+    empties the result, exactly ES bool.must)."""
+    rows = qterms.groupBy("query_id").agg(F.count("*").alias("qn")).collect()
+    return {int(r["query_id"]): int(r["qn"]) for r in rows}
+
+
 def search_wand(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
     k: int = TOP_K,
+    require_all: bool = False,
 ) -> DataFrame:
     """Per-query exact top-k with block-max pruning; one applyInPandas
     group per query (ES-style shard fan-in happens inside the group —
     the gathered rows are already per-term encoded bytes, tiny relative
-    to the corpus)."""
-    n_docs, avgdl, _ = load_stats_multi(_as_dirs(index_dir))
+    to the corpus). ``require_all=True`` = conjunctive bool.must with
+    mandatory-term interval skipping (see _wand_one_query) — the scale
+    path for conjunctive queries; bit-identical to
+    ``search_taat(require_all=True)`` (asserted in tests)."""
+    n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(spark, index_dir, terms)
+    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+    qn = _qn_map(qterms) if require_all else None
     seg_q = seg.join(F.broadcast(qterms), "term")
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
-        return _wand_one_query(g, n_docs, avgdl, k, dfg)
+        rn = qn[int(key[0])] if qn is not None else None
+        return _wand_one_query(g, n_docs, avgdl, k, dfg,
+                               require_n=rn, dead=dead)
 
     return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
 
@@ -437,16 +576,20 @@ def search_topk(
     queries: DataFrame,
     k: int = TOP_K,
     n_ranges: int | None = None,
+    require_all: bool = False,
 ) -> DataFrame:
     """THE default query path. Derives the chunk-parallel fan-out from
     the index stats and dispatches: one range → single-group WAND (small
     index fast path, no merge stage); otherwise chunk-parallel WAND over
-    docid ranges (no task ever holds a full head posting list)."""
+    docid ranges (no task ever holds a full head posting list).
+    ``require_all=True`` routes conjunctive (ES bool.must) semantics
+    through the same WAND paths."""
     n_docs, _, _ = load_stats_multi(_as_dirs(index_dir))
     nr = n_ranges if n_ranges is not None else default_n_ranges(n_docs)
     if nr <= 1:
-        return search_wand(spark, index_dir, queries, k=k)
-    return search_wand_ranges(spark, index_dir, queries, k=k, n_ranges=nr)
+        return search_wand(spark, index_dir, queries, k=k, require_all=require_all)
+    return search_wand_ranges(spark, index_dir, queries, k=k, n_ranges=nr,
+                              require_all=require_all)
 
 
 def search_wand_ranges(
@@ -455,6 +598,7 @@ def search_wand_ranges(
     queries: DataFrame,
     k: int = TOP_K,
     n_ranges: int = 8,
+    require_all: bool = False,
 ) -> DataFrame:
     """Chunk-parallel exact WAND — the 10^12-scale query path.
 
@@ -469,13 +613,14 @@ def search_wand_ranges(
     """
     from pyspark.sql.window import Window
 
-    n_docs, avgdl, _ = load_stats_multi(_as_dirs(index_dir))
+    n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(spark, index_dir, terms)
+    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+    qn = _qn_map(qterms) if require_all else None
     seg = seg.withColumn("__max_docid", F.element_at("blocks", -1)["last_docid"])
     seg_q = seg.join(F.broadcast(qterms), "term")
 
@@ -503,11 +648,211 @@ def search_wand_ranges(
                        & (F.col("first_docid") <= F.col("hi")))
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        rn = qn[int(key[0])] if qn is not None else None
         return _wand_one_query(g, n_docs, avgdl, k, dfg,
                                range_lo=int(g["lo"].iloc[0]),
-                               range_hi=int(g["hi"].iloc[0]))
+                               range_hi=int(g["hi"].iloc[0]),
+                               require_n=rn, dead=dead)
 
     cands = seg_r.groupBy("query_id", "rng").applyInPandas(run, RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))
+
+
+# ---------------------------------------------------------------------------
+# Q8: phrase queries over positional postings (format v4)
+# ---------------------------------------------------------------------------
+
+def analyze_phrase_queries(queries: DataFrame) -> DataFrame:
+    """(query_id, qtext) -> (query_id, qpos, term) — ORDERED and
+    duplicate-keeping, unlike :func:`analyze_queries`: the phrase
+    "the data the" is three constraints at offsets 0, 1, 2."""
+
+    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ex = pd.DataFrame({"query_id": pdf["query_id"],
+                               "term": tokenize_series(pdf["qtext"])})
+            ex = ex.explode("term", ignore_index=True).dropna(subset=["term"])
+            if len(ex) == 0:
+                continue
+            ex["qpos"] = ex.groupby("query_id", sort=False).cumcount().astype(np.int32)
+            yield ex[["query_id", "qpos", "term"]]
+
+    return queries.mapInPandas(tok, schema="query_id long, qpos int, term string")
+
+
+def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
+                      n_docs: int, avgdl: float, k: int, dfg: dict,
+                      range_lo: int = 0, range_hi: int | None = None,
+                      dead: np.ndarray | None = None) -> pd.DataFrame:
+    """Exact match_phrase + BM25 top-k over one query's candidate rows.
+
+    Semantics (documented contract, ES match_phrase parity on the
+    filter side): a doc matches iff the exact token sequence occurs —
+    for every (offset o, term t) of the analyzed phrase there is one
+    anchor position a with a+o ∈ positions(doc, t). Matching docs are
+    ranked by the standard disjunctive BM25 sum over the phrase's
+    DISTINCT terms (frozen fold order §1.3.4) — score set is a subset
+    of the disjunctive scorer's, so the DuckDB twin is the disjunctive
+    oracle restricted to phrase-matching docs.
+
+    Vectorized end to end: anchors are intersected as (local_doc_id <<
+    32 | shifted position) int64 keys via np.intersect1d — local dense
+    doc ids (not raw docids) so the composite can never overflow at
+    10^12-docid scale.
+    """
+    from ..scoring import partial as _partial
+
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="int32"),
+                          "docid": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if range_hi is None:
+        range_hi = np.iinfo(np.int64).max
+    qid = int(g["query_id"].iloc[0])
+    distinct_terms = sorted({t for _, t in phrase})
+    term_rows: dict[str, list[tuple]] = {}
+    src_it = g["src_avgdl"] if "src_avgdl" in g.columns else [None] * len(g)
+    for row in zip(g["term"], g["chunk"], g["first_docid"], g["blocks"],
+                   g["postings"], src_it):
+        term_rows.setdefault(row[0], []).append(row)
+    if any(t not in term_rows for t in distinct_terms):
+        return empty  # a phrase term has no postings here -> no match
+
+    # decode per term, skipping blocks outside the docid range
+    per_term: dict[str, tuple] = {}
+    for t in distinct_terms:
+        ds, tfl, dll, pfl = [], [], [], []
+        for (_t, chunk, first, blks, payload, _src) in sorted(
+                term_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            prev_last = int(first) - 1
+            for b in blks:
+                last = int(b["last_docid"])
+                if last >= range_lo and prev_last + 1 <= range_hi:
+                    d, tf, dl, pos = decode_block_positions(buf, int(b["offset"]))
+                    sel = (d >= range_lo) & (d <= range_hi)
+                    if sel.any():
+                        ds.append(d[sel]); tfl.append(tf[sel]); dll.append(dl[sel])
+                        pfl.append(pos[np.repeat(sel, tf)])
+                prev_last = last
+        if not ds:
+            return empty
+        per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
+                       np.concatenate(dll), np.concatenate(pfl))
+
+    # candidate docs = docs containing every distinct term (conjunctive
+    # prefilter; rows/dirs are docid-disjoint so each term's docids are
+    # sorted unique after the ordered concat above)
+    inter = per_term[distinct_terms[0]][0]
+    for t in distinct_terms[1:]:
+        inter = np.intersect1d(inter, per_term[t][0], assume_unique=True)
+    if dead is not None and dead.size:
+        inter = inter[~np.isin(inter, dead)]
+    if inter.size == 0:
+        return empty
+
+    # anchor intersection over every (offset, term) constraint
+    anchors: np.ndarray | None = None
+    for o, t in phrase:
+        d, tf, _dl, pos = per_term[t]
+        docc = np.repeat(d, tf)
+        keep = np.isin(docc, inter, assume_unique=False) & (pos >= o)
+        if not keep.any():
+            return empty
+        local = np.searchsorted(inter, docc[keep]).astype(np.int64)
+        key = (local << np.int64(32)) | (pos[keep].astype(np.int64) - o)
+        key = np.unique(key)
+        anchors = key if anchors is None else np.intersect1d(
+            anchors, key, assume_unique=True)
+        if anchors.size == 0:
+            return empty
+    matched_local = np.unique(anchors >> np.int64(32))
+    matched = inter[matched_local]
+
+    # BM25 over the distinct phrase terms, sorted-term fold order
+    scores = np.zeros(matched.size, dtype=np.float64)
+    for t in distinct_terms:
+        d, tf, dl, _pos = per_term[t]
+        sel = np.isin(d, matched, assume_unique=True)
+        idx = np.searchsorted(matched, d[sel])
+        scores[idx] += _idf(float(dfg[t]), n_docs) * _partial(tf[sel], dl[sel], avgdl)
+
+    order = np.lexsort((matched, -scores))[:k]
+    return pd.DataFrame({
+        "query_id": qid,
+        "rank": np.arange(1, order.size + 1, dtype=np.int32),
+        "docid": matched[order],
+        "score": scores[order],
+    })
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Exact phrase top-k (ES match_phrase parity) over the positional
+    index. Dispatches like :func:`search_topk`: small index -> one
+    applyInPandas group per query; large -> chunk-parallel groups over
+    fixed docid ranges (exact: a doc's anchors are evaluated entirely
+    inside the one range that contains its docid, and every term row
+    whose span covers that docid joins the range)."""
+    from pyspark.sql.window import Window
+
+    n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
+    qterms = analyze_phrase_queries(queries)
+    # per-query (qpos, term) structure, closure-captured (tiny)
+    phrase_rows = qterms.collect()
+    phrases: dict[int, list[tuple[int, str]]] = {}
+    for r in phrase_rows:
+        phrases.setdefault(int(r["query_id"]), []).append((int(r["qpos"]), r["term"]))
+    for p in phrases.values():
+        p.sort()
+    terms = sorted({r["term"] for r in phrase_rows})
+    if not terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    seg = candidate_segments(spark, index_dir, terms)
+    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+    qdist = spark.createDataFrame(
+        [(qid, t) for qid, p in phrases.items() for t in {t for _, t in p}],
+        "query_id long, term string")
+
+    nr = n_ranges if n_ranges is not None else default_n_ranges(n_docs)
+    if nr <= 1:
+        seg_q = seg.join(F.broadcast(qdist), "term")
+
+        def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+            return _phrase_one_query(g, phrases[int(key[0])], n_docs, avgdl,
+                                     k, dfg, dead=dead)
+
+        return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
+
+    dom_lo, dom_hi = docid_domain(_as_dirs(index_dir))
+    if dom_hi < dom_lo:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    width = max(1, (dom_hi - dom_lo + 1 + nr - 1) // nr)
+    ranges = spark.createDataFrame(
+        [(r, dom_lo + r * width, dom_lo + (r + 1) * width - 1) for r in range(nr)],
+        "rng int, lo long, hi long")
+    seg2 = seg.withColumn("__max_docid", F.element_at("blocks", -1)["last_docid"])
+    seg_r = (seg2.join(F.broadcast(qdist), "term")
+             .join(F.broadcast(ranges),
+                   (F.col("__max_docid") >= F.col("lo"))
+                   & (F.col("first_docid") <= F.col("hi"))))
+
+    def run_rng(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        return _phrase_one_query(g, phrases[int(key[0])], n_docs, avgdl, k, dfg,
+                                 range_lo=int(g["lo"].iloc[0]),
+                                 range_hi=int(g["hi"].iloc[0]), dead=dead)
+
+    cands = seg_r.groupBy("query_id", "rng").applyInPandas(run_rng, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
