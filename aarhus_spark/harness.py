@@ -42,6 +42,21 @@ FLAGSHIP_QUERIES = [
     (2, "hash join table scan"),
 ]
 
+# phrase queries (exact adjacency; phrases verified present at every
+# driver sf: sf0.001/0.01/0.1 have 12/17/128, 15/22/139, 5/1/3 matching
+# docs respectively)
+PHRASE_QUERIES = [
+    (0, "hash join"),
+    (1, "sort data"),
+    (2, "agg group merge"),
+]
+
+# re-crawl scenario (X6+ overwrite): urls with doc_id % 10 == 3 are
+# re-crawled a day later with this marker appended — the SAME rule is
+# applied in the Spark chain build and the DuckDB monolithic oracle
+RECRAWL_MARK = " recrawl revision marker words"
+RECRAWL_QUERIES = FLAGSHIP_QUERIES + [(3, "recrawl revision window")]
+
 TOKEN_SQL_RE = "[a-z0-9]+"
 
 # portable 60-bit hash: identical value in Spark and DuckDB
@@ -133,16 +148,6 @@ def q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=5))
 
 
-def q_bm25_topk_engine_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 chunk-parallel path at a different fan-out (3 ranges) — shares
-    the DuckDB oracle with bm25_topk_engine, so the driver verifies that
-    results are fan-out-invariant."""
-    from .operators.search import search_wand_ranges
-    idx = _ensure_index(spark, sf_dir)
-    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
-    return _rerank_rounded(search_wand_ranges(spark, idx, qdf, k=20, n_ranges=3))
-
-
 def q_bm25_topk_engine_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 single-group WAND — the small-index fast path search_topk
     falls back to when one range suffices; driver-verified against the
@@ -154,11 +159,15 @@ def q_bm25_topk_engine_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # common DuckDB prefix: documents → pages shape → frozen prepare +
-# tokenize + stats CTEs (shared by the BM25 oracles and index_stats)
-_CORPUS_CTES_DUCK = f"""
+# tokenize + stats CTEs (shared by the BM25 oracles and index_stats).
+# ``text_expr`` parameterizes the corpus text — the re-crawl entry's
+# monolithic-latest-wins oracle swaps in the revised text for the
+# re-crawled urls.
+def _corpus_ctes_duck(text_expr: str = "text") -> str:
+    return f"""
 WITH pages AS (
   SELECT concat('https://testdata.local/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
-         text, lang FROM documents
+         {text_expr} AS text, lang FROM documents
 ), en AS (
   SELECT url, text FROM pages WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 0
 ), ids AS (
@@ -178,19 +187,26 @@ WITH pages AS (
 )"""
 
 
+_CORPUS_CTES_DUCK = _corpus_ctes_duck()
+
+
 def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
-                     conjunctive: bool = False) -> str:
+                     conjunctive: bool = False,
+                     queries: list | None = None,
+                     corpus_ctes: str | None = None) -> str:
     """Full-corpus BM25 oracle. ``by_url=True`` keys results by url
     (rank tiebreak on url) — the docid-independent form the incremental
     base+delta entry compares against (docid SPACES differ by design
     between a monolithic build and base+delta; scores don't).
     ``conjunctive=True`` = ES bool.must: every analyzed query term must
     match (counting HAVING on the same aggregation)."""
-    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in FLAGSHIP_QUERIES)
+    queries = queries if queries is not None else FLAGSHIP_QUERIES
+    corpus = corpus_ctes if corpus_ctes is not None else _CORPUS_CTES_DUCK
+    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
     key, tie = ("url", "url") if by_url else ("docid", "docid")
     having = ("HAVING count(*) = (SELECT count(*) FROM qterms q2 "
               "WHERE q2.query_id = q.query_id)" if conjunctive else "")
-    return f"""{_CORPUS_CTES_DUCK}
+    return f"""{corpus}
 , qraw AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, qtext
   FROM (VALUES {vals}) AS q(query_id, qtext)
@@ -340,8 +356,11 @@ def q_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the driver compares at sf=0.01; the oracle reads the harness index
 # artifacts for that sf dir by absolute path (built by the Spark side of
-# the bm25_* entries, which the driver runs earlier in queries() order)
-DRIVER_SF_DIR = "/root/testdata/sf0.01"
+# the bm25_* entries, which the driver runs earlier in queries() order).
+# Overridable via AARHUS_ORACLE_SF_DIR so a driver pointed at another sf
+# compares against THAT sf's artifacts instead of mismatched ones (the
+# Spark side always audits whatever sf_dir it is passed).
+DRIVER_SF_DIR = os.environ.get("AARHUS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _manifest_audit_oracle(sf_dir: str = DRIVER_SF_DIR) -> str:
@@ -412,11 +431,137 @@ def q_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool.must parity: BM25 top-k over docs matching EVERY analyzed
-    query term (counting filter on the TAAT fold — zero extra shuffles)."""
-    from .operators.search import search_taat
+    query term — routed through the chunk-parallel WAND path with
+    mandatory-term interval skipping (the scale path for bool.must;
+    bit-identical to search_taat(require_all=True), asserted in
+    tests/test_round4_features.py)."""
+    from .operators.search import search_topk
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
-    return _rerank_rounded(search_taat(spark, idx, qdf, k=20, require_all=True))
+    return _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=3,
+                                       require_all=True))
+
+
+def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase parity over the positional index (format v4):
+    exact-adjacency filter via the stored position streams + BM25
+    ranking over the phrase's terms (operators/search.search_phrase,
+    chunk-parallel path). The DuckDB twin recomputes positions with a
+    window over the token ordinality and checks adjacency by self-join."""
+    from .operators.search import search_phrase
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(PHRASE_QUERIES, "query_id long, qtext string")
+    return _rerank_rounded(search_phrase(spark, idx, qdf, k=20, n_ranges=3))
+
+
+def _phrase_oracle_sql(k: int = 10) -> str:
+    """DuckDB match_phrase twin: dense token positions (ordinality →
+    length-filter → re-rank), adjacency by positional self-joins per
+    phrase, BM25 over the phrase's distinct terms restricted to
+    matching docs — the same documented semantics as search_phrase."""
+    from .textops import tokenize
+    pos_cte = f"""
+, tokord AS (
+  SELECT docid,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')))) AS ord
+  FROM ids
+), tokpos AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) - 1 AS pos
+  FROM tokord WHERE length(term) <= 64
+)"""
+    per_q = []
+    for qid, qtext in PHRASE_QUERIES:
+        toks = tokenize(qtext)
+        joins = "\n".join(
+            f"  JOIN tokpos t{i} ON t{i}.docid = t0.docid "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'"
+            for i, t in enumerate(toks[1:], start=1))
+        terms_in = ", ".join(f"'{t}'" for t in sorted(set(toks)))
+        per_q.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, tf.docid,
+       sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+FROM tf
+JOIN dfs d USING (term)
+JOIN dl USING (docid)
+CROSS JOIN stats s
+WHERE tf.term IN ({terms_in})
+  AND tf.docid IN (
+    SELECT DISTINCT t0.docid FROM tokpos t0
+{joins}
+    WHERE t0.term = '{toks[0]}')
+GROUP BY tf.docid""")
+    union = "\nUNION ALL\n".join(per_q)
+    return f"""{_CORPUS_CTES_DUCK}{pos_cte}
+, scored AS ({union})
+, ranked AS (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ensure_recrawl(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Base index over the v1 crawl of the WHOLE corpus + a tombstone
+    delta over the re-crawled subset (doc_id % 10 == 3, revised text,
+    warc_ts + 1 day). Built once per config per sf_dir."""
+    from .operators.build import IndexPaths
+    from .operators.incremental import build_delta
+    tag = _build_config_tag()
+    slug = sf_dir.strip("/").replace("/", "_")
+    # the base IS the shared harness index (full corpus, v1 text) — a
+    # solo search of it never sees the delta's tombstones, so sharing is
+    # safe and saves a duplicate full build in driver runs
+    base = _ensure_index(spark, sf_dir)
+    delta = os.path.join(tempfile.gettempdir(), f"aarhus_rc_delta_{tag}_{slug}")
+
+    def _done(d: str) -> bool:
+        return (os.path.exists(IndexPaths(d).stats)
+                and os.path.exists(os.path.join(IndexPaths(d).segments, "_SUCCESS")))
+
+    pages = pages_from_documents(spark, sf_dir)
+    recrawl_pred = F.element_at(F.split("url", "/"), -1).cast("long") % 10 == 3
+    if not (_done(delta) and os.path.isdir(os.path.join(delta, "tombstones"))):
+        v2 = (pages.filter(recrawl_pred)
+              .withColumn("text", F.concat("text", F.lit(RECRAWL_MARK)))
+              .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")))
+        build_delta(spark, v2, base, delta, on_recrawl="tombstone")
+    return [base, delta]
+
+
+def q_incremental_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+ re-crawl overwrite: BM25 over base + tombstone-delta chain
+    must equal a monolithic latest-wins rebuild over the REVISED corpus
+    — the DuckDB oracle recomputes that monolith from scratch with the
+    same revision rule. Url-keyed (docid spaces differ by design);
+    exercises dead-docid masking, N/avgdl correction and the per-term
+    df correction together."""
+    from .operators.build import IndexPaths
+    from .operators.search import search_topk
+    dirs = _ensure_recrawl(spark, sf_dir)
+    qdf = spark.createDataFrame(RECRAWL_QUERIES, "query_id long, qtext string")
+    res = search_topk(spark, dirs, qdf, k=20, n_ranges=4)
+    url_of = None
+    for d in dirs:
+        dl = spark.read.parquet(IndexPaths(d).doclens).select("docid", "url")
+        url_of = dl if url_of is None else url_of.unionByName(dl)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("url"))
+    return (
+        res.join(url_of, "docid")
+        .withColumn("score_r", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "url", "score_r")
+    )
+
+
+_RECRAWL_TEXT_EXPR = ("CASE WHEN doc_id % 10 = 3 THEN text || '"
+                      + RECRAWL_MARK + "' ELSE text END")
 
 
 def q_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,34 +670,27 @@ GROUP BY o_orderstatus
 """
 
 
-def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: left semi — customers that have at least one 'F' order."""
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J4 in one result (driver-cap consolidation, round 4): left
+    semi (customers with ≥1 'F' order) and left anti (customers with no
+    orders — the resume/delta idiom), tagged and unioned."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_mktsegment")
-    )
-
-
-SQL_JOIN_LEFT_SEMI = """
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-"""
-
-
-def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: left anti — the resume/delta idiom (rows not yet processed)."""
-    cust = _t(spark, sf_dir, "customer")
+    f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     orders = _t(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_nationkey")
-    )
+    semi = (cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi")
+            .select(F.lit("semi").alias("op"), "c_custkey",
+                    F.col("c_mktsegment").alias("attr")))
+    anti = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select(F.lit("anti").alias("op"), "c_custkey",
+                    F.col("c_nationkey").cast("string").alias("attr")))
+    return semi.unionByName(anti)
 
 
-SQL_JOIN_LEFT_ANTI = """
-SELECT c_custkey, c_nationkey FROM customer
+SQL_JOIN_SEMI_ANTI = """
+SELECT 'semi' AS op, c_custkey, c_mktsegment AS attr FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'anti' AS op, c_custkey, CAST(c_nationkey AS VARCHAR) AS attr FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
 """
 
@@ -581,7 +719,9 @@ FROM nation n1 JOIN nation n2
 # ---------------------------------------------------------------------------
 
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: hash agg with partial/final (the TPC-H Q1 shape)."""
+    """A1+A2: hash agg with partial/final (the TPC-H Q1 shape) plus
+    exact distinct counts per group (A2 folded in — driver-cap
+    consolidation, round 4)."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -591,6 +731,8 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("n"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
         )
     )
 
@@ -601,23 +743,10 @@ SELECT l_returnflag, l_linestatus,
        round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base,
        round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc,
        round(avg(l_quantity), 6) AS avg_qty,
-       CAST(count(*) AS BIGINT) AS n
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
 FROM lineitem GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: exact distinct counts."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
-    )
-
-
-SQL_AGG_DISTINCT = """
-SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-       CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status
-FROM lineitem
 """
 
 
@@ -705,43 +834,44 @@ FROM orders
 """
 
 
-def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: ntile deciles of order value (df-distribution report idiom)."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
+def q_window_ntile_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+W5 in one tagged result (driver-cap consolidation, round 4):
+    ntile deciles of order value, and lag-based inter-event gaps per
+    user, unioned as (op, k, n, v)."""
+    w_nt = Window.orderBy("o_totalprice", "o_orderkey")
+    nt = (
         _t(spark, sf_dir, "orders")
-        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .withColumn("decile", F.ntile(10).over(w_nt).cast("long"))
         .groupBy("decile")
         .agg(F.count("*").alias("n"),
-             F.round(F.max("o_totalprice"), 2).alias("max_price"))
+             F.round(F.max("o_totalprice"), 2).alias("v"))
+        .select(F.lit("ntile").alias("op"), F.col("decile").alias("k"), "n", "v")
     )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lg = (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w_lag))
+        .withColumn("gap_s", F.col("ts").cast("timestamp").cast("long")
+                    - F.col("prev_ts").cast("timestamp").cast("long"))
+        .groupBy("user_id")
+        .agg(F.count("gap_s").alias("n"),
+             F.round(F.avg("gap_s"), 4).alias("v"))
+        .select(F.lit("lag").alias("op"), F.col("user_id").cast("long").alias("k"),
+                "n", "v")
+    )
+    return nt.unionByName(lg)
 
 
-SQL_WINDOW_NTILE = """
-SELECT decile, CAST(count(*) AS BIGINT) AS n, round(max(o_totalprice), 2) AS max_price
+SQL_WINDOW_NTILE_LAG = """
+SELECT 'ntile' AS op, decile AS k, CAST(count(*) AS BIGINT) AS n,
+       round(max(o_totalprice), 2) AS v
 FROM (SELECT o_totalprice,
              CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
       FROM orders) z
 GROUP BY decile
-"""
-
-
-def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: lag/lead — inter-event gap per user (delta-gap sanity idiom)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn("gap_s", F.col("ts").cast("timestamp").cast("long")
-                    - F.col("prev_ts").cast("timestamp").cast("long"))
-        .groupBy("user_id")
-        .agg(F.count("gap_s").alias("n_gaps"),
-             F.round(F.avg("gap_s"), 4).alias("avg_gap_s"))
-    )
-
-
-SQL_WINDOW_LAG = """
-SELECT user_id, CAST(count(gap_s) AS BIGINT) AS n_gaps, round(avg(gap_s), 4) AS avg_gap_s
+UNION ALL
+SELECT 'lag' AS op, CAST(user_id AS BIGINT) AS k, CAST(count(gap_s) AS BIGINT) AS n,
+       round(avg(gap_s), 4) AS v
 FROM (SELECT user_id,
              CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
       FROM events) z
@@ -798,11 +928,12 @@ SELECT 'except' AS op, nk FROM
 
 QUERIES: dict[str, callable] = {
     "bm25_topk_engine": q_bm25_topk_engine,
-    "bm25_topk_engine_ranges": q_bm25_topk_engine_ranges,
     "bm25_topk_engine_single": q_bm25_topk_engine_single,
     "bm25_brute_sql": q_bm25_brute_sql,
+    "bm25_phrase": q_bm25_phrase,
     "index_stats": q_index_stats,
     "incremental_delta": q_incremental_delta,
+    "incremental_recrawl": q_incremental_recrawl,
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -810,28 +941,28 @@ QUERIES: dict[str, callable] = {
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "join_broadcast": q_join_broadcast,
     "join_sortmerge": q_join_sortmerge,
-    "join_left_semi": q_join_left_semi,
-    "join_left_anti": q_join_left_anti,
+    "join_semi_anti": q_join_semi_anti,
     "join_theta": q_join_theta,
     "agg_pricing_summary": q_agg_pricing_summary,
-    "agg_distinct": q_agg_distinct,
     "agg_quantiles": q_agg_quantiles,
     "agg_cube": q_agg_cube,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
-    "window_ntile": q_window_ntile,
-    "window_lag": q_window_lag,
+    "window_ntile_lag": q_window_ntile_lag,
     "topk_global": q_topk_global,
     "set_ops": q_set_ops,
 }
 
 ORACLES: dict[str, str] = {
     "bm25_topk_engine": _bm25_oracle_sql(),
-    "bm25_topk_engine_ranges": _bm25_oracle_sql(),
     "bm25_topk_engine_single": _bm25_oracle_sql(),
     "bm25_brute_sql": _BRUTE_DUCK_SQL,
+    "bm25_phrase": _phrase_oracle_sql(),
     "index_stats": SQL_INDEX_STATS,
     "incremental_delta": _bm25_oracle_sql(by_url=True),
+    "incremental_recrawl": _bm25_oracle_sql(
+        by_url=True, queries=RECRAWL_QUERIES,
+        corpus_ctes=_corpus_ctes_duck(_RECRAWL_TEXT_EXPR)),
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),
@@ -839,17 +970,14 @@ ORACLES: dict[str, str] = {
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
     "join_broadcast": SQL_JOIN_BROADCAST,
     "join_sortmerge": SQL_JOIN_SORTMERGE,
-    "join_left_semi": SQL_JOIN_LEFT_SEMI,
-    "join_left_anti": SQL_JOIN_LEFT_ANTI,
+    "join_semi_anti": SQL_JOIN_SEMI_ANTI,
     "join_theta": SQL_JOIN_THETA,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
-    "agg_distinct": SQL_AGG_DISTINCT,
     "agg_quantiles": SQL_AGG_QUANTILES,
     "agg_cube": SQL_AGG_CUBE,
     "window_rank": SQL_WINDOW_RANK,
     "window_running_sum": SQL_WINDOW_RUNNING_SUM,
-    "window_ntile": SQL_WINDOW_NTILE,
-    "window_lag": SQL_WINDOW_LAG,
+    "window_ntile_lag": SQL_WINDOW_NTILE_LAG,
     "topk_global": SQL_TOPK_GLOBAL,
     "set_ops": SQL_SET_OPS,
 }

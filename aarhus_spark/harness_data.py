@@ -395,10 +395,10 @@ FROM documents
 # windowed events (X1-X3 batch analogs; streaming twins in streaming/)
 # ---------------------------------------------------------------------------
 
-def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.tumbling_counts(_t(spark, sf_dir, "events"))
-
-
+# X1 batch analog folded into the streaming twin (driver-cap
+# consolidation, round 4): events_tumbling_stream runs the SAME
+# W.tumbling_counts aggregation through a real readStream source and is
+# checked against this batch oracle — one entry covers both.
 SQL_EVENTS_TUMBLING = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type, CAST(count(*) AS BIGINT) AS n,
@@ -416,12 +416,23 @@ def _stage_stream_dir(spark: SparkSession, sf_dir: str, name: str,
     as CONTROLLED micro-batches: one file per (filename, pandas frame)
     pair, mtimes spaced so FileStreamSource (which orders by mod time)
     processes them in list order under maxFilesPerTrigger=1. Built once
-    per sf_dir per process; a done-marker makes restaging idempotent."""
+    per CONTENT per process: the staged dir name carries a fingerprint
+    of the frames (row counts + per-frame md5 of the csv bytes), so a
+    regenerated fixture table under the same sf_dir restages instead of
+    silently replaying stale parquet against a fresh oracle."""
+    import hashlib
     import pyarrow as pa
     import pyarrow.parquet as pq
     import tempfile
+    h = hashlib.md5()
+    for fname, pdf in files:
+        h.update(fname.encode())
+        h.update(str(len(pdf)).encode())
+        h.update(pdf.to_csv(index=False).encode())
+    fp = h.hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(),
-                       f"aarhus_stream_{name}_" + sf_dir.strip("/").replace("/", "_"))
+                       f"aarhus_stream_{name}_{fp}_"
+                       + sf_dir.strip("/").replace("/", "_"))
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
@@ -607,7 +618,10 @@ FROM s GROUP BY user_id, sid
 # scalar function families (F1-F8)
 # ---------------------------------------------------------------------------
 
-def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scalar_string_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F8 folded (driver-cap consolidation, round 4): string fns and
+    binary/hash fns over the same part rows."""
+    from .harness import _hash_spark
     return _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.lower("p_name").alias("lname"),
@@ -615,13 +629,18 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("long").alias("name_len"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.trim(F.col("p_name")).alias("trimmed"),
+        F.md5("p_name").alias("md5_hex"),
+        F.sha2(F.col("p_name"), 256).alias("sha256_hex"),
+        F.expr(_hash_spark("p_name")).alias("h60"),
     )
 
 
-SQL_SCALAR_STRING = """
+SQL_SCALAR_STRING_HASH = f"""
 SELECT p_partkey, lower(p_name) AS lname, substring(p_type, 1, 5) AS type5,
        CAST(length(p_name) AS BIGINT) AS name_len,
-       concat_ws('|', p_brand, p_type) AS brand_type, trim(p_name) AS trimmed
+       concat_ws('|', p_brand, p_type) AS brand_type, trim(p_name) AS trimmed,
+       md5(p_name) AS md5_hex, sha256(p_name) AS sha256_hex,
+       {HD('p_name')} AS h60
 FROM part
 """
 
@@ -644,18 +663,26 @@ FROM documents GROUP BY 1
 """
 
 
-def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scalar_datetime_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F7 folded (driver-cap consolidation, round 4): date/time fns
+    and json extraction over the same events aggregation."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
         .withColumn("hr", F.hour("ts").cast("long"))
-        .groupBy("day", "hr").agg(F.count("*").alias("n"))
+        .withColumn("k_val", F.get_json_object("props", "$.k"))
+        .groupBy("day", "hr")
+        .agg(F.count("*").alias("n"),
+             F.countDistinct("k_val").alias("n_k"),
+             F.max("k_val").alias("max_k"))
     )
 
 
-SQL_SCALAR_DATETIME = """
+SQL_SCALAR_DATETIME_JSON = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-       CAST(extract('hour' FROM ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n
+       CAST(extract('hour' FROM ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
+       max(json_extract_string(props, '$.k')) AS max_k
 FROM events GROUP BY 1, 2
 """
 
@@ -696,40 +723,6 @@ SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
        round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
        round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
 FROM embeddings
-"""
-
-
-def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.withColumn("k_val", F.get_json_object("props", "$.k"))
-        .groupBy("event_type")
-        .agg(F.countDistinct("k_val").alias("n_k"),
-             F.max("k_val").alias("max_k"))
-    )
-
-
-SQL_SCALAR_JSON = """
-SELECT event_type, CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
-       max(json_extract_string(props, '$.k')) AS max_k
-FROM events GROUP BY event_type
-"""
-
-
-def q_scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .harness import _hash_spark
-    return _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.md5("c_name").alias("md5_hex"),
-        F.sha2(F.col("c_name"), 256).alias("sha256_hex"),
-        F.expr(_hash_spark("c_name")).alias("h60"),
-    )
-
-
-SQL_SCALAR_HASH = f"""
-SELECT c_custkey, md5(c_name) AS md5_hex, sha256(c_name) AS sha256_hex,
-       {HD('c_name')} AS h60
-FROM customer
 """
 
 
@@ -842,19 +835,16 @@ QUERIES2 = {
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_meta": q_multimodal_meta,
-    "events_tumbling": q_events_tumbling,
     "events_tumbling_stream": q_events_tumbling_stream,
     "events_watermark_stream": q_events_watermark_stream,
     "stream_dedup": q_stream_dedup,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
-    "scalar_string": q_scalar_string,
+    "scalar_string_hash": q_scalar_string_hash,
     "scalar_url_host": q_scalar_url_host,
-    "scalar_datetime": q_scalar_datetime,
+    "scalar_datetime_json": q_scalar_datetime_json,
     "scalar_math": q_scalar_math,
     "scalar_array": q_scalar_array,
-    "scalar_json": q_scalar_json,
-    "scalar_hash": q_scalar_hash,
     "asof_join": q_asof_join,
     "agg_approx_distinct": q_agg_approx_distinct,
     "postings_codec_check": q_postings_codec_check,
@@ -874,19 +864,16 @@ ORACLES2 = {
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
-    "events_tumbling": SQL_EVENTS_TUMBLING,
     "events_tumbling_stream": SQL_EVENTS_TUMBLING,
     "events_watermark_stream": SQL_EVENTS_WATERMARK_STREAM,
     "stream_dedup": SQL_STREAM_DEDUP,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,
-    "scalar_string": SQL_SCALAR_STRING,
+    "scalar_string_hash": SQL_SCALAR_STRING_HASH,
     "scalar_url_host": SQL_SCALAR_URL_HOST,
-    "scalar_datetime": SQL_SCALAR_DATETIME,
+    "scalar_datetime_json": SQL_SCALAR_DATETIME_JSON,
     "scalar_math": SQL_SCALAR_MATH,
     "scalar_array": SQL_SCALAR_ARRAY,
-    "scalar_json": SQL_SCALAR_JSON,
-    "scalar_hash": SQL_SCALAR_HASH,
     "asof_join": SQL_ASOF_JOIN,
     # rows-only by design: postings_codec_check (binary codec),
     # agg_approx_distinct (HLL sketch values are engine-specific)
