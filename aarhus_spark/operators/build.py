@@ -678,8 +678,13 @@ def build_index(
     metrics: list[dict] = []
     t_build0 = time.time()
 
+    from ..metrics import SpillTracker
+    spill = SpillTracker(spark)
+
     def stage(name: str, t0: float, **kw) -> None:
-        metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
+        # S6: per-stage wall + executor spill deltas (SURVEY §4.2)
+        metrics.append({"stage": name, "wall_s": time.time() - t0,
+                        **spill.delta(), **kw})
 
     # completed build: resume is a no-op whatever config was requested
     # (config changes only the physical layout, not the logical index)

@@ -228,8 +228,12 @@ def compact_indexes(
                 f"resume=True with a different compaction config than the "
                 f"original run (stored vs current): {diff}.")
 
+    from ..metrics import SpillTracker
+    spill = SpillTracker(spark)
+
     def stage(name: str, t0: float, **kw) -> None:
-        metrics.append({"stage": name, "wall_s": time.time() - t0, **kw})
+        metrics.append({"stage": name, "wall_s": time.time() - t0,
+                        **spill.delta(), **kw})
 
     # --- new docid map + corpus stats (one pass over the union doclens);
     #     tombstoned docids are purged first (module docstring) ---

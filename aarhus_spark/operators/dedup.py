@@ -142,7 +142,15 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
         .filter(F.col("doc_id") != F.col("rep"))     # rep = bucket min < doc_id
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    return full.unionByName(star).distinct()
+    # materialize the (small) pair set eagerly, then RELEASE the bands
+    # cache — returning a lazy frame on top of a persisted internal
+    # DataFrame would leak cached partitions on every call in a
+    # long-lived session (the caller can't unpersist what it never
+    # sees). localCheckpoint truncates the lineage so downstream
+    # consumers never re-derive from the unpersisted bands.
+    cand = full.unionByName(star).distinct().localCheckpoint(eager=True)
+    bands.unpersist()
+    return cand
 
 
 def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -182,7 +190,11 @@ def minhash_lsh_dedup(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
     sh = shingles(df).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, n_hashes)
     cand = lsh_candidate_pairs(sig, n_hashes, band_size, max_bucket)
-    return jaccard_verify(cand, sh, threshold)
+    # eager: materialize the verified pairs, then release the shingle
+    # cache (same leak-on-return argument as lsh_candidate_pairs)
+    out = jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
@@ -207,7 +219,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return jaccard_verify(cand, sh, threshold)
+    out = jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, bits: int = 16) -> DataFrame:

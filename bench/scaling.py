@@ -162,12 +162,16 @@ def main() -> None:
     eff4 = {f"{a}->{b}": round(
         (results[b]["docs_per_sec"] / results[a]["docs_per_sec"]) / 4.0, 4)
         for a, b in quads}
+    # the gate is CONSERVATIVE: every measured N→4N pair must clear 0.8
+    # (min, not the most favorable pair — cherry-picking the best pair
+    # would overstate the evidence; both extremes are reported)
     headline = min(eff4.values()) if eff4 else None
     best4 = max(eff4.values()) if eff4 else None
     result = {"n_pages": n_pages,
               "levels": {lv: results[lv] for lv in levels},
               "efficiency_n_to_4n": eff4,
-              "pass": best4 is not None and best4 >= 0.8}
+              "min_eff_4x": headline, "max_eff_4x": best4,
+              "pass": headline is not None and headline >= 0.8}
     print(json.dumps(result, indent=1))
 
     lines = [
