@@ -118,6 +118,21 @@ def _pos_deltas(flat_pos: np.ndarray, tfs: np.ndarray) -> np.ndarray:
     return deltas
 
 
+def encode_pos_chunks(flat_pos: np.ndarray, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a flat position stream ONCE (vectorized) and return
+    ``(byte_buffer uint8, per_posting_byte_lens int64)`` — the shape
+    the build pipeline ships through the shuffle: per-posting byte runs
+    are independently concatenable (deltas reset at posting starts), so
+    the fragment encoder assembles block position sections by pure byte
+    concatenation, never re-encoding a value."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas = _pos_deltas(flat_pos, tfs)
+    buf, vlens = _vbyte_encode_arr(deltas)
+    voff = np.concatenate(([0], np.cumsum(vlens)))
+    psum = np.concatenate(([0], np.cumsum(tfs)))
+    return buf, voff[psum[1:]] - voff[psum[:-1]]
+
+
 def _pos_undelta(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
     """Inverse of :func:`_pos_deltas` — segmented cumsum, vectorized."""
     deltas = deltas.astype(np.int64)
@@ -166,6 +181,7 @@ def encode_blocks(
     k1: float | None = None,
     b: float | None = None,
     positions: np.ndarray | None = None,
+    pos_encoded: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[bytes, list[tuple[int, float, int]]]:
     """Encode a posting run as independent fixed-size blocks.
 
@@ -183,6 +199,13 @@ def encode_blocks(
     stream at the tail of each block (module docstring); block cut
     points land on posting boundaries, so each block's position
     section is self-contained.
+
+    ``pos_encoded``: the same stream ALREADY VByte-encoded as
+    ``(byte_buffer, per_posting_byte_lens)`` (see
+    :func:`encode_pos_chunks`) — the hot-path form: the build encodes
+    positions once at tokenize time and every later stage only
+    byte-concatenates. Mutually exclusive with ``positions``;
+    byte-identical output.
     """
     from .config import B, K1  # late import to keep codec numpy-only at module load
 
@@ -225,6 +248,8 @@ def encode_blocks(
                    + (d_off[ends_idx] - d_off[starts_idx])
                    + (t_off[ends_idx] - t_off[starts_idx])
                    + (l_off[ends_idx] - l_off[starts_idx]))
+    if positions is not None and pos_encoded is not None:
+        raise ValueError("pass positions OR pos_encoded, not both")
     if positions is not None:
         p_bytes, p_len = _vbyte_encode_arr(_pos_deltas(positions, tfs))
         p_off = np.concatenate(([0], np.cumsum(p_len)))
@@ -232,6 +257,16 @@ def encode_blocks(
         psum = np.concatenate(([0], np.cumsum(tfs)))
         p_lo, p_hi = psum[starts_idx], psum[ends_idx]
         block_bytes = block_bytes + (p_off[p_hi] - p_off[p_lo])
+    elif pos_encoded is not None:
+        p_bytes, plens = pos_encoded
+        if plens.size != n:
+            raise ValueError(f"pos_encoded: {plens.size} lens for {n} postings")
+        # byte offset of each POSTING's run (not per-value — already
+        # encoded); block [s, e) copies bytes [pb_off[s], pb_off[e])
+        pb_off = np.concatenate(([0], np.cumsum(np.asarray(plens, np.int64))))
+        p_lo, p_hi = starts_idx, ends_idx          # posting-indexed
+        p_off = pb_off                             # shared copy loop below
+        block_bytes = block_bytes + (pb_off[ends_idx] - pb_off[starts_idx])
     out_off = np.concatenate(([0], np.cumsum(block_bytes)))
     out = np.empty(int(out_off[-1]), dtype=np.uint8)
     max_partials = np.maximum.reduceat(partials, starts_idx)
@@ -244,7 +279,7 @@ def encode_blocks(
             (t_bytes, t_off, s, e),
             (l_bytes, l_off, s, e),
         ]
-        if positions is not None:
+        if positions is not None or pos_encoded is not None:
             copies.append((p_bytes, p_off, int(p_lo[bi]), int(p_hi[bi])))
         for src, off_arr, vlo, vhi in copies:
             lo, hi = int(off_arr[vlo]), int(off_arr[vhi])
@@ -280,6 +315,33 @@ def decode_block_positions(payload: bytes | np.ndarray, offset: int) -> tuple[np
     pdeltas, off = vbyte_decode(buf, int(tfs.sum()), off)
     return (np.cumsum(deltas.astype(np.int64)), tfs, dls.astype(np.int64),
             _pos_undelta(pdeltas, tfs))
+
+
+def decode_block_keep_pos(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[bytes]]:
+    """Decode a v4 block's docids/tfs/dls but keep the position stream
+    as VERBATIM per-posting byte runs (no value decode, no re-encode) —
+    the compaction path: per-posting runs are independently concatenable
+    (deltas reset at posting starts), so they pass through a docid
+    remap + re-blocking untouched. Value boundaries are found by one
+    vectorized continuation-bit scan."""
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    (n_arr, off) = vbyte_decode(buf, 1, offset)
+    n = int(n_arr[0])
+    deltas, off = vbyte_decode(buf, n, off)
+    tfs, off = vbyte_decode(buf, n, off)
+    dls, off = vbyte_decode(buf, n, off)
+    tfs = tfs.astype(np.int64)
+    total = int(tfs.sum())
+    b = buf[off:]
+    ends = np.flatnonzero((b & 0x80) == 0)[:total]      # per-VALUE end bytes
+    if ends.size < total:
+        raise ValueError("decode_block_keep_pos: position stream truncated")
+    psum = np.cumsum(tfs)
+    pe = ends[psum - 1] + 1                              # per-posting byte ends
+    ps = np.concatenate(([0], pe[:-1]))
+    mv = memoryview(b[:int(pe[-1]) if total else 0].tobytes())
+    posb = [bytes(mv[int(s):int(e)]) for s, e in zip(ps, pe)]
+    return np.cumsum(deltas.astype(np.int64)), tfs, dls.astype(np.int64), posb
 
 
 def decode_all_blocks_positions(payload: bytes | np.ndarray, offsets: list[int] | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

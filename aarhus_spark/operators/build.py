@@ -7,11 +7,10 @@ Pipeline (one ``build_index`` call):
   → P5      E(html) via vectorized Arrow UDF where text is null
   → T8      global lexicographic dense docID assignment (2-pass, no
             monotonically_increasing_id)
-  → T1      tokenize → per-OCCURRENCE (docid, term, pos, dl) rows via
-            mapInPandas (format v4: pos = 0-based token index feeds the
-            positional posting stream for phrase queries; tf is
-            recovered vectorized in the encoder as the per-docid run
-            length, so the tokenizer no longer needs a groupby)
+  → T1      tokenize → per-posting (docid, term, tf, dl, posb) rows via
+            mapInPandas (format v4: posb = the posting's term positions
+            already VByte-encoded — ~1 byte/occurrence through the
+            shuffle; phrase queries decode them at search time)
   → T2-T4   doclens, term dictionary (df, cf), corpus stats (N, avgdl)
   → T5      head-term skew salting: docid-RANGE salts (contiguous
             fragments → the merge is an ordered concat, delta-gaps small)
@@ -57,17 +56,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codec import decode_all_blocks_positions, encode_blocks, permute_poslists
+from ..codec import (decode_all_blocks_positions, encode_blocks,
+                     encode_pos_chunks, permute_poslists)
 from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
                       MAX_POSTINGS_PER_ROW, SALTS)
 from ..textops import extract_series, tokenize_series
 
 TOKENS_SCHEMA = "docid long, term string, tf long, dl long"
 
-# per-occurrence token stream (format v4): one row per token OCCURRENCE
-# (docid, term, pos, dl); tf is implicit (run length per docid within a
-# (term, salt) run — recovered vectorized in the fragment encoder)
-OCCUR_SCHEMA = "docid long, term string, pos int, dl long"
+# format-v4 token stream: one row per POSTING, positions pre-encoded as
+# a VByte byte run (codec.encode_pos_chunks) — ~1 byte per occurrence
+# through the big shuffle instead of a 20+-byte occurrence row, and the
+# fragment encoder assembles block position sections by byte concat,
+# never re-encoding a value
+POSTING_SCHEMA = "docid long, term string, tf long, dl long, posb binary"
 
 # pyarrow schema for task-side fragment parquet writes (the
 # per-bucket checkpoint unit; see _make_fragment_encoder)
@@ -365,29 +367,70 @@ def _salt_of(terms: pd.Series, docids: pd.Series, head_set: frozenset,
                     0).astype(np.int32), is_head
 
 
+def tokenize_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of (docid, text, ...) -> per-posting rows
+    (docid, term, tf, dl, posb), format v4.
+
+    Vectorized: explode -> per-doc cumcount (positions) -> ONE lexsort
+    by (docid, term-code) keeping position order stable -> run-length
+    tf -> ONE VByte pass over all position deltas
+    (codec.encode_pos_chunks). The only per-posting Python is the
+    byte-slice loop materializing posb bytes objects for Arrow (a
+    memoryview slice each - far below the explode+groupby cost)."""
+    toks = tokenize_series(pdf["text"])
+    ex = pd.DataFrame({"docid": pdf["docid"]}).assign(term=toks)
+    ex = ex.explode("term", ignore_index=True).dropna(subset=["term"])
+    if len(ex) == 0:
+        return pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "tf": pd.Series([], dtype="int64"),
+                             "dl": pd.Series([], dtype="int64"),
+                             "posb": pd.Series([], dtype="object")})
+    grp = ex.groupby("docid", sort=False)
+    pos = grp.cumcount().to_numpy(np.int64)
+    dl_occ = grp["term"].transform("size").to_numpy(np.int64)
+    docid_occ = ex["docid"].to_numpy(np.int64)
+    term_codes, term_uniques = pd.factorize(ex["term"], sort=False)
+    order = np.lexsort((term_codes, docid_occ))    # stable: pos stays ascending
+    docid_occ, term_codes = docid_occ[order], term_codes[order]
+    pos, dl_occ = pos[order], dl_occ[order]
+    if docid_occ.size > 1:
+        change = np.flatnonzero((docid_occ[1:] != docid_occ[:-1])
+                                | (term_codes[1:] != term_codes[:-1])) + 1
+        starts = np.concatenate(([0], change))
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    ends = np.concatenate((starts[1:], [docid_occ.size]))
+    tfs = ends - starts
+    buf, plens = encode_pos_chunks(pos, tfs)
+    boff = np.concatenate(([0], np.cumsum(plens)))
+    mv = memoryview(buf.tobytes())
+    posb = [bytes(mv[int(boff[i]):int(boff[i + 1])]) for i in range(tfs.size)]
+    return pd.DataFrame({
+        "docid": docid_occ[starts],
+        "term": term_uniques.take(term_codes[starts]),
+        "tf": tfs,
+        "dl": dl_occ[starts],
+        "posb": posb,
+    })
+
+
 def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
                          salts: int, n_buckets: int, docid_offset: int) -> DataFrame:
     """T1+T5 in one python pass: tokenize AND attach the shuffle key.
 
-    Format v4: emits per-OCCURRENCE rows (docid, term, pos, dl, bucket)
-    — pos is the 0-based index in the doc's (filtered) token stream, the
-    value the positional posting stream stores for phrase queries. The
-    tf groupby the per-posting stream needed is GONE from this pass
-    (cheaper tokenize); the encoder recovers tf as the per-docid run
-    length after the big sort, which it gets for free.
+    Format v4: per-POSTING rows with the position stream pre-encoded to
+    VByte bytes (``posb``, ~1 byte per occurrence) - the shuffle keeps
+    the r3 per-posting row count and gains only the compact position
+    payload; every later stage concatenates those bytes, never
+    re-encoding a value (codec.encode_blocks pos_encoded path).
 
     salt/is_head/bucket are all derived vectorized inside the batch
-    (``pd.util.hash_array`` — C siphash with a fixed key, deterministic
+    (``pd.util.hash_array`` - C siphash with a fixed key, deterministic
     across processes, which the per-bucket resume relies on), so the
     token stream needs NO broadcast join and carries only one extra
     int32 through the big shuffle. The encoder recomputes salt/is_head
     from the same closure inputs.
-
-    Scale note: the shuffle now moves one row per occurrence instead of
-    one per posting (~1.2-1.5× rows on natural text, cf/df), each row
-    4 bytes wider (pos int32). Measured cost on the 1M-page scaling
-    protocol is recorded in BENCH/BASELINE.md — the positional index is
-    what makes phrase queries (ES match_phrase parity) possible at all.
     """
     head_set = frozenset(head_terms)
 
@@ -395,22 +438,17 @@ def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = tokenize_series(pdf["text"])
-            ex = pd.DataFrame({"docid": pdf["docid"]}).assign(term=toks)
-            ex = ex.explode("term", ignore_index=True).dropna(subset=["term"])
-            if len(ex) == 0:
+            tf = tokenize_postings(pdf)
+            if len(tf) == 0:
                 continue
-            grp = ex.groupby("docid", sort=False)
-            ex["pos"] = grp.cumcount().astype(np.int32)
-            ex["dl"] = grp["term"].transform("size").astype(np.int64)
-            salt, _ = _salt_of(ex["term"], ex["docid"], head_set,
+            salt, _ = _salt_of(tf["term"], tf["docid"], head_set,
                                n_docs, salts, docid_offset)
-            th = pd.util.hash_array(ex["term"].to_numpy(object))
-            ex["bucket"] = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            th = pd.util.hash_array(tf["term"].to_numpy(object))
+            tf["bucket"] = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
                             % np.uint64(n_buckets)).astype(np.int32)
-            yield ex[["docid", "term", "pos", "dl", "bucket"]]
+            yield tf
 
-    return docs.mapInPandas(tok, schema=OCCUR_SCHEMA + ", bucket int")
+    return docs.mapInPandas(tok, schema=POSTING_SCHEMA + ", bucket int")
 
 
 # ---------------------------------------------------------------------------
@@ -517,28 +555,23 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
         summaries: list[dict] = []
 
         def flush_run(bucket: int, term: str, salt: int, is_head: bool,
-                      occ_docids: np.ndarray, occ_pos: np.ndarray,
-                      occ_dls: np.ndarray) -> None:
-            """One (term, salt) run of OCCURRENCE rows, sorted by
-            (docid, pos): collapse to postings (tf = run length per
-            docid, vectorized) and encode with the position stream."""
+                      docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                      posb) -> None:
+            """One (term, salt) run of per-posting rows sorted by docid;
+            ``posb`` holds each posting's pre-encoded position bytes —
+            assembled into block position sections by concatenation
+            (codec pos_encoded path), zero re-encoding."""
             nonlocal sink
             if sink is None or sink.bucket != bucket:
                 if sink is not None:
                     summaries.append(sink.close())
                 sink = _BucketSink(bucket)
-            if occ_docids.size > 1:
-                change = np.flatnonzero(occ_docids[1:] != occ_docids[:-1]) + 1
-                ustarts = np.concatenate(([0], change))
-            else:
-                ustarts = np.zeros(1, dtype=np.int64)
-            uends = np.concatenate((ustarts[1:], [occ_docids.size]))
-            docids = occ_docids[ustarts]
-            tfs = uends - ustarts
-            dls = occ_dls[ustarts]
+            pbuf = np.frombuffer(b"".join(posb), dtype=np.uint8)
+            plens = np.fromiter((len(x) for x in posb), dtype=np.int64,
+                                count=len(posb))
             payload, blocks = encode_blocks(docids, tfs, dls, avgdl, BLOCK_SIZE,
-                                            positions=occ_pos)
-            sink.rows_in += int(occ_docids.size)
+                                            pos_encoded=(pbuf, plens))
+            sink.rows_in += int(tfs.sum())
             sink.add({
                 "term": term,
                 "salt": salt,
@@ -586,11 +619,13 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
             bucket_arr = pdf["bucket"].to_numpy()
             head_arr = pdf["is_head"].to_numpy()
             docid_arr = pdf["docid"].to_numpy(np.int64)
-            pos_arr = pdf["pos"].to_numpy(np.int64)
+            tf_arr = pdf["tf"].to_numpy(np.int64)
             dl_arr = pdf["dl"].to_numpy(np.int64)
+            posb_arr = pdf["posb"].to_numpy(object)
             for s, e in zip(starts.tolist(), ends.tolist()):
                 flush_run(int(bucket_arr[s]), term_arr[s], int(salt_arr[s]),
-                          bool(head_arr[s]), docid_arr[s:e], pos_arr[s:e], dl_arr[s:e])
+                          bool(head_arr[s]), docid_arr[s:e], tf_arr[s:e],
+                          dl_arr[s:e], posb_arr[s:e])
 
         for pdf in batches:
             consume(pdf, final=False)
@@ -809,8 +844,8 @@ def encode_merge_finalize(
     """The shared back half of every index-producing job (build_index
     and compact_indexes): resume-filter → THE big bucket shuffle →
     fragment encode with the per-bucket checkpoint sink → head-merge
-    overlay → dictionary. ``salted`` is the per-occurrence token stream
-    (docid, term, pos, dl, bucket). Returns n_terms."""
+    overlay → dictionary. ``salted`` is the per-posting token stream
+    (docid, term, tf, dl, posb, bucket). Returns n_terms."""
     # --- resume filter: only buckets without a manifest ---
     done = _done_buckets(paths.manifests) if resume else set()
     if not resume:
@@ -826,7 +861,7 @@ def encode_merge_finalize(
     if len(done) < n_buckets:
         summary = (
             salted.repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term", "docid", "pos")
+            .sortWithinPartitions("bucket", "term", "docid")
             .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests,
                                                 head_terms, n_docs, salts, docid_offset,
                                                 committer=committer),

@@ -48,14 +48,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import decode_block_positions
+from ..codec import decode_block_keep_pos
 from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
                       MAX_POSTINGS_PER_ROW, SALTS)
 from .build import (FragmentCommitter, IndexPaths, _salt_of,
                     encode_merge_finalize)
 
-# per-occurrence (format v4): tf is implicit (run length), pos explicit
-TOKENS_SCHEMA = "dir_id int, docid long, term string, pos int, dl long"
+# per-posting (format v4): posb = the posting's pre-encoded positions
+TOKENS_SCHEMA = "dir_id int, docid long, term string, tf long, dl long, posb binary"
 
 
 def _union_doclens(spark: SparkSession, dirs: list[str]) -> DataFrame:
@@ -107,28 +107,32 @@ def _assign_new_docids(spark: SparkSession, doclens: DataFrame,
 
 
 def decode_fragments_to_tokens(spark: SparkSession, dirs: list[str]) -> DataFrame:
-    """Per-occurrence (dir_id, docid, term, pos, dl) rows from every
-    fragment row of every dir — the fragment encoder's exact inverse
-    (postings are expanded back to tf rows each, carrying the stored
-    positions, so the re-encode reproduces the position stream
-    bit-identically)."""
+    """Per-posting (dir_id, docid, term, tf, dl, posb) rows from every
+    fragment row of every dir — the fragment encoder's exact inverse.
+    Position runs pass through as VERBATIM bytes (decode_block_keep_pos):
+    per-posting streams are self-delimiting and independently
+    concatenable, so the compacted index reproduces them bit-identically
+    without ever decoding a position value."""
     def make_dec(dir_id: int):
         def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for term, payload, blks in zip(pdf["term"], pdf["postings"],
                                                pdf["blocks"]):
                     buf = np.frombuffer(payload, dtype=np.uint8)
-                    parts = [decode_block_positions(buf, int(b["offset"]))
+                    parts = [decode_block_keep_pos(buf, int(b["offset"]))
                              for b in blks]
                     if not parts:
                         continue
-                    tfs = np.concatenate([p[1] for p in parts])
+                    posb: list[bytes] = []
+                    for p in parts:
+                        posb.extend(p[3])
                     yield pd.DataFrame({
                         "dir_id": np.int32(dir_id),
-                        "docid": np.repeat(np.concatenate([p[0] for p in parts]), tfs),
+                        "docid": np.concatenate([p[0] for p in parts]),
                         "term": term,
-                        "pos": np.concatenate([p[3] for p in parts]).astype(np.int32),
-                        "dl": np.repeat(np.concatenate([p[2] for p in parts]), tfs),
+                        "tf": np.concatenate([p[1] for p in parts]),
+                        "dl": np.concatenate([p[2] for p in parts]),
+                        "posb": posb,
                     })
         return dec
 
@@ -173,10 +177,10 @@ def salt_bucket_tokens(tokens: DataFrame, head_terms: list[str], n_docs: int,
             th = pd.util.hash_array(pdf["term"].to_numpy(object))
             bucket = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
                       % np.uint64(n_buckets)).astype(np.int32)
-            yield pdf[["docid", "term", "pos", "dl"]].assign(bucket=bucket)
+            yield pdf[["docid", "term", "tf", "dl", "posb"]].assign(bucket=bucket)
 
-    return tokens.mapInPandas(key, schema="docid long, term string, pos int, "
-                                          "dl long, bucket int")
+    return tokens.mapInPandas(key, schema="docid long, term string, tf long, "
+                                          "dl long, posb binary, bucket int")
 
 
 def compact_indexes(
@@ -281,7 +285,7 @@ def compact_indexes(
               .withColumnRenamed("docid", "old_docid")
               .join(id_map.select("dir_id", "old_docid", "docid"),
                     ["dir_id", "old_docid"])
-              .select("docid", "term", "pos", "dl"))
+              .select("docid", "term", "tf", "dl", "posb"))
     salted = salt_bucket_tokens(tokens, head_terms, n_docs, salts, n_buckets)
 
     n_terms = encode_merge_finalize(
