@@ -2,7 +2,13 @@
 
     spark-submit --py-files engine.zip scripts/search.py \
         --index /path/index --queries /path/queries_parquet \
-        [--k 10] [--mode wand|taat] [--out /path/results]
+        [--k 10] [--mode wand|taat|phrase] [--require-all] \
+        [--out /path/results]
+
+``--index`` accepts a comma-separated chain (base,delta,...) —
+tombstone deltas are masked automatically. ``--mode phrase`` treats
+each query text as an exact phrase (match_phrase over the positional
+postings); ``--require-all`` makes wand/taat conjunctive (bool.must).
 """
 
 from __future__ import annotations
@@ -21,33 +27,45 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--queries", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges", "wand-single"],
+    ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges",
+                                       "wand-single", "phrase"],
                     default="wand",
                     help="wand = default dispatcher (chunk-parallel, fan-out "
                          "auto-sized from index stats); wand-ranges forces the "
                          "chunk-parallel path; wand-single forces one group/query")
     ap.add_argument("--ranges", type=int, default=None,
                     help="override the docid-range fan-out (default: from stats)")
+    ap.add_argument("--require-all", action="store_true",
+                    help="conjunctive bool.must: docs must match every "
+                         "analyzed query term")
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from aarhus_spark.operators.search import (
-        search_taat, search_topk, search_wand, search_wand_ranges)
+        search_phrase, search_taat, search_topk, search_wand,
+        search_wand_ranges)
     from aarhus_spark.session import get_spark
     from aarhus_spark.sources.io import read_queries
 
     spark = get_spark("aarhus-search", master=args.master)
+    index = args.index.split(",") if "," in args.index else args.index
     qdf = read_queries(spark, args.queries)
     if args.mode == "wand":
-        res = search_topk(spark, args.index, qdf, k=args.k, n_ranges=args.ranges)
+        res = search_topk(spark, index, qdf, k=args.k, n_ranges=args.ranges,
+                          require_all=args.require_all)
     elif args.mode == "wand-ranges":
-        res = search_wand_ranges(spark, args.index, qdf, k=args.k,
-                                 n_ranges=args.ranges or 8)
+        res = search_wand_ranges(spark, index, qdf, k=args.k,
+                                 n_ranges=args.ranges or 8,
+                                 require_all=args.require_all)
     elif args.mode == "wand-single":
-        res = search_wand(spark, args.index, qdf, k=args.k)
+        res = search_wand(spark, index, qdf, k=args.k,
+                          require_all=args.require_all)
+    elif args.mode == "phrase":
+        res = search_phrase(spark, index, qdf, k=args.k, n_ranges=args.ranges)
     else:
-        res = search_taat(spark, args.index, qdf, k=args.k)
+        res = search_taat(spark, index, qdf, k=args.k,
+                          require_all=args.require_all)
     if args.out:
         res.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.out)
     else:
