@@ -113,3 +113,23 @@ def test_near_dup_topn_has_no_unpartitioned_window_over_pairs(spark, sf_dir):
     assert plan.count("Window") >= 2
     # the local window is keyed by pmod(va, n_groups)
     assert "pmod" in plan
+
+
+def test_phrase_range_join_prunes_and_stays_arrow(spark, tmpdir_session, pages_parquet):
+    """Q8: the phrase chunk-parallel path must reuse the pruned range
+    join ([first_docid, __max_docid] span intersect) and stay on the
+    Arrow path (no row-Python)."""
+    from aarhus_spark.operators.build import build_index
+    from aarhus_spark.operators.search import search_phrase
+    idx = os.path.join(tmpdir_session, "idx_plan2")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        from aarhus_spark.sources.io import read_pages as _rp
+        build_index(spark, _rp(spark, pages_parquet), idx,
+                    n_partitions=3, n_buckets=2, salts=2)
+    qdf = spark.createDataFrame([(0, "the spark")], "query_id long, qtext string")
+    plan = _plan(search_phrase(spark, idx, qdf, n_ranges=4))
+    flat = plan.replace(" ", "")
+    assert "__max_docid" in flat and "first_docid" in flat
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "PushedFilters" in plan and "In(term" in plan
