@@ -277,3 +277,61 @@ def test_compaction_purges_tombstones(spark, recrawl_chain, tmpdir_session):
           .select("docid", "url", "dl").toPandas()
           .sort_values("docid").reset_index(drop=True))
     pd.testing.assert_frame_equal(ca, cb)
+
+
+def test_double_recrawl_chain(spark, tmpdir_session):
+    """A url re-crawled TWICE across two tombstone deltas: the second
+    delta must tombstone the FIRST DELTA's docid (the live copy), not
+    re-tombstone the base one — and the chain must still equal a
+    monolithic latest-wins build."""
+    pdf = gen_pages(200)
+    base_dir = os.path.join(tmpdir_session, "rc2_base")
+    d1_dir = os.path.join(tmpdir_session, "rc2_d1")
+    d2_dir = os.path.join(tmpdir_session, "rc2_d2")
+    mono_dir = os.path.join(tmpdir_session, "rc2_mono")
+    build_index(spark, spark.createDataFrame(pdf), base_dir,
+                n_partitions=4, n_buckets=3, salts=3)
+    doclens = spark.read.parquet(IndexPaths(base_dir).doclens).toPandas()
+    urls = sorted(doclens["url"])
+    twice = set(urls[::9])
+
+    def revise(tag, days):
+        rec = pdf[pdf["url"].isin(twice)].copy()
+        rec = (rec.sort_values(["url", "warc_ts"])
+               .drop_duplicates("url", keep="last"))
+        rec["text"] = rec["text"].fillna("") + f" revision {tag} content"
+        rec["html"] = None
+        rec["warc_ts"] = rec["warc_ts"] + pd.Timedelta(days=days)
+        return rec
+
+    v2, v3 = revise("alpha", 2), revise("beta", 4)
+    build_delta(spark, spark.createDataFrame(v2), [base_dir], d1_dir,
+                on_recrawl="tombstone", n_partitions=4, n_buckets=3, salts=3)
+    build_delta(spark, spark.createDataFrame(v3), [base_dir, d1_dir], d2_dir,
+                on_recrawl="tombstone", n_partitions=4, n_buckets=3, salts=3)
+
+    # each re-crawled url must have exactly TWO dead docids (base + d1)
+    dead, _ = load_tombstones(spark, [base_dir, d1_dir, d2_dir])
+    assert dead.size == 2 * len(twice)
+    d2_tombs = spark.read.parquet(os.path.join(d2_dir, "tombstones")).toPandas()
+    d1_doclens = spark.read.parquet(IndexPaths(d1_dir).doclens).toPandas()
+    assert set(d2_tombs["docid"]) == set(d1_doclens["docid"])  # live copies only
+
+    live_v1 = pdf[~pdf["url"].isin(twice)]
+    mono_pdf = pd.concat([live_v1, v3], ignore_index=True)
+    build_index(spark, spark.createDataFrame(mono_pdf), mono_dir,
+                n_partitions=4, n_buckets=3, salts=3)
+    qpdf = gen_queries(pdf).head(8)
+    qpdf = pd.concat([qpdf, pd.DataFrame(
+        [{"query_id": 997, "qtext": "revision beta content"}])],
+        ignore_index=True)
+    qdf = spark.createDataFrame(qpdf)
+    chain = [base_dir, d1_dir, d2_dir]
+    got = _by_url(spark, search_topk(spark, chain, qdf, k=10, n_ranges=3), chain)
+    exp = _by_url(spark, search_topk(spark, mono_dir, qdf, k=10), [mono_dir])
+    pd.testing.assert_frame_equal(got, exp)
+    # no 'alpha' (superseded middle revision) doc may surface
+    alpha_q = spark.createDataFrame([(0, "revision alpha")],
+                                    "query_id long, qtext string")
+    res = search_taat(spark, chain, alpha_q, k=10, require_all=True).toPandas()
+    assert len(res) == 0
