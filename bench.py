@@ -118,6 +118,17 @@ def main() -> None:
     timed("search_wand_50q", lambda: search_wand(spark, idx_dir, qdf).count())
     timed("search_wand_ranges_50q",
           lambda: search_wand_ranges(spark, idx_dir, qdf, n_ranges=8).count())
+    timed("search_wand_conj_50q",
+          lambda: search_wand(spark, idx_dir, qdf, require_all=True).count())
+
+    # Q8 phrase search (format v4): 25 two-word phrases drawn from the
+    # corpus vocabulary (adjacent-pair phrases occur naturally)
+    from aarhus_spark.operators.search import search_phrase
+    ph = [(i, f"{a} {b}") for i, (a, b) in enumerate(
+        [("hash", "join"), ("sort", "data"), ("the", "table"), ("merge", "data"),
+         ("query", "table")] * 5)]
+    pqdf = spark.createDataFrame(ph, "query_id long, qtext string")
+    timed("search_phrase_25q", lambda: search_phrase(spark, idx_dir, pqdf).count())
 
     # X7 compaction: split the corpus into base (even doc_id urls) +
     # delta, then compact the 2-dir chain into one index — the only
