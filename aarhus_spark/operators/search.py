@@ -723,10 +723,14 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
     if any(t not in term_rows for t in distinct_terms):
         return empty  # a phrase term has no postings here -> no match
 
-    # decode per term, skipping blocks outside the docid range
+    # PASS 1 — scoring streams only (decode_block never touches the
+    # position bytes): per-term blocks in range, then the conjunctive
+    # docid intersection. Rows/dirs are docid-disjoint so each term's
+    # docids are sorted unique after the ordered concat.
+    per_term_blocks: dict[str, list[tuple]] = {}   # (d, tf, dl, buf, off)
     per_term: dict[str, tuple] = {}
     for t in distinct_terms:
-        ds, tfl, dll, pfl = [], [], [], []
+        blocks = []
         for (_t, chunk, first, blks, payload, _src) in sorted(
                 term_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
             buf = np.frombuffer(payload, dtype=np.uint8)
@@ -734,27 +738,46 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
             for b in blks:
                 last = int(b["last_docid"])
                 if last >= range_lo and prev_last + 1 <= range_hi:
-                    d, tf, dl, pos = decode_block_positions(buf, int(b["offset"]))
+                    d, tf, dl = decode_block(buf, int(b["offset"]))
                     sel = (d >= range_lo) & (d <= range_hi)
                     if sel.any():
-                        ds.append(d[sel]); tfl.append(tf[sel]); dll.append(dl[sel])
-                        pfl.append(pos[np.repeat(sel, tf)])
+                        blocks.append((d[sel], tf[sel], dl[sel], buf,
+                                       int(b["offset"]), sel))
                 prev_last = last
-        if not ds:
+        if not blocks:
             return empty
-        per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
-                       np.concatenate(dll), np.concatenate(pfl))
+        per_term_blocks[t] = blocks
 
-    # candidate docs = docs containing every distinct term (conjunctive
-    # prefilter; rows/dirs are docid-disjoint so each term's docids are
-    # sorted unique after the ordered concat above)
-    inter = per_term[distinct_terms[0]][0]
-    for t in distinct_terms[1:]:
-        inter = np.intersect1d(inter, per_term[t][0], assume_unique=True)
+    inter = None
+    for t in distinct_terms:
+        td = np.concatenate([b[0] for b in per_term_blocks[t]])
+        inter = td if inter is None else np.intersect1d(inter, td,
+                                                        assume_unique=True)
+        if inter.size == 0:
+            return empty
     if dead is not None and dead.size:
         inter = inter[~np.isin(inter, dead)]
     if inter.size == 0:
         return empty
+
+    # PASS 2 — decode the position stream ONLY for blocks that still
+    # hold a candidate (for a selective phrase over a common term this
+    # skips the bulk of the expensive stream), and keep only candidate
+    # docs' rows per term.
+    for t in distinct_terms:
+        ds, tfl, dll, pfl = [], [], [], []
+        for (d, tf, dl, buf, off, sel) in per_term_blocks[t]:
+            keep = np.isin(d, inter, assume_unique=True)
+            if not keep.any():
+                continue
+            _d2, tf2, _dl2, pos = decode_block_positions(buf, off)
+            pos = pos[np.repeat(sel, tf2)]       # range-restrict like pass 1
+            ds.append(d[keep]); tfl.append(tf[keep]); dll.append(dl[keep])
+            pfl.append(pos[np.repeat(keep, tf)])
+        if not ds:
+            return empty
+        per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
+                       np.concatenate(dll), np.concatenate(pfl))
 
     # anchor intersection over every (offset, term) constraint
     anchors: np.ndarray | None = None
