@@ -317,13 +317,19 @@ def decode_block_positions(payload: bytes | np.ndarray, offset: int) -> tuple[np
             _pos_undelta(pdeltas, tfs))
 
 
-def decode_block_keep_pos(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[bytes]]:
+def decode_block_keep_pos(payload: bytes | np.ndarray, offset: int,
+                          end: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[bytes]]:
     """Decode a v4 block's docids/tfs/dls but keep the position stream
     as VERBATIM per-posting byte runs (no value decode, no re-encode) —
     the compaction path: per-posting runs are independently concatenable
     (deltas reset at posting starts), so they pass through a docid
     remap + re-blocking untouched. Value boundaries are found by one
-    vectorized continuation-bit scan."""
+    vectorized continuation-bit scan.
+
+    ``end`` bounds that scan: pass the NEXT block's byte offset (or the
+    payload length for the last block). Without it the scan runs over
+    the tail of the whole row payload for every block — O(row_bytes ×
+    n_blocks), quadratic for multi-block rows near MAX_POSTINGS_PER_ROW."""
     buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
     (n_arr, off) = vbyte_decode(buf, 1, offset)
     n = int(n_arr[0])
@@ -332,7 +338,7 @@ def decode_block_keep_pos(payload: bytes | np.ndarray, offset: int) -> tuple[np.
     dls, off = vbyte_decode(buf, n, off)
     tfs = tfs.astype(np.int64)
     total = int(tfs.sum())
-    b = buf[off:]
+    b = buf[off:] if end is None else buf[off:end]
     ends = np.flatnonzero((b & 0x80) == 0)[:total]      # per-VALUE end bytes
     if ends.size < total:
         raise ValueError("decode_block_keep_pos: position stream truncated")
@@ -342,6 +348,33 @@ def decode_block_keep_pos(payload: bytes | np.ndarray, offset: int) -> tuple[np.
     mv = memoryview(b[:int(pe[-1]) if total else 0].tobytes())
     posb = [bytes(mv[int(s):int(e)]) for s, e in zip(ps, pe)]
     return np.cumsum(deltas.astype(np.int64)), tfs, dls.astype(np.int64), posb
+
+
+def decode_block_ext(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Decode a block's three scoring streams AND return the byte offset
+    where its v4 position stream starts — so a later pass can decode
+    ONLY the positions (:func:`decode_positions_at`) without re-decoding
+    docids/tfs/dls. The phrase two-pass hot path: pass 1 scores and
+    intersects on this; pass 2 pays for position bytes only in blocks
+    still holding candidates."""
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    (n_arr, off) = vbyte_decode(buf, 1, offset)
+    n = int(n_arr[0])
+    deltas, off = vbyte_decode(buf, n, off)
+    tfs, off = vbyte_decode(buf, n, off)
+    dls, off = vbyte_decode(buf, n, off)
+    return np.cumsum(deltas.astype(np.int64)), tfs.astype(np.int64), dls.astype(np.int64), off
+
+
+def decode_positions_at(payload: bytes | np.ndarray, pos_off: int,
+                        tfs: np.ndarray) -> np.ndarray:
+    """Decode a v4 block's position stream given its start offset (from
+    :func:`decode_block_ext`) and the block's tfs — flat positions,
+    posting i owns the next tf_i values."""
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    tfs = np.asarray(tfs, dtype=np.int64)
+    pdeltas, _ = vbyte_decode(buf, int(tfs.sum()), pos_off)
+    return _pos_undelta(pdeltas, tfs)
 
 
 def decode_all_blocks_positions(payload: bytes | np.ndarray, offsets: list[int] | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

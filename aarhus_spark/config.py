@@ -39,6 +39,17 @@ SALTS: int = 16
 # df-quantile that defines "head term" for salting (SURVEY §2.5 A4).
 HEAD_DF_QUANTILE: float = 0.999
 
+# Max dead (tombstoned) docids a query-time index CHAIN may carry.
+# The re-crawl overwrite path (operators/incremental.py) keeps dead
+# docids as a driver-side sorted array that is closure-captured by the
+# scorers and broadcast-anti-joined — cheap only while the set stays
+# small relative to the corpus. The bound is ENFORCED, not asserted in
+# prose: load_tombstones raises past it, pointing at compaction (which
+# purges tombstones physically). Env-overridable for ops/tests.
+import os as _os
+
+TOMBSTONE_BUDGET: int = int(_os.environ.get("AARHUS_TOMBSTONE_BUDGET", 2_000_000))
+
 # On-disk index layout version, written into build_config.json and
 # stats.json at build time and VERIFIED at read time: readers refuse a
 # mismatched layout instead of silently mis-serving it (a v0.1 dir read

@@ -51,6 +51,17 @@ PHRASE_QUERIES = [
     (2, "agg group merge"),
 ]
 
+# sloppy-phrase queries at SLOP (ES match_phrase slop parity). Chosen so
+# slop is load-bearing at the driver's sf0.01: "join hash" is the
+# TRANSPOSITION of a live phrase (28→105 matching docs at slop 0→2),
+# "merge window" 26→86, "table join scan" 2→10 (DuckDB-verified).
+SLOP_PHRASE_QUERIES = [
+    (0, "join hash"),
+    (1, "merge window"),
+    (2, "table join scan"),
+]
+SLOP = 2
+
 # re-crawl scenario (X6+ overwrite): urls with doc_id % 10 == 3 are
 # re-crawled a day later with this marker appended — the SAME rule is
 # applied in the Spark chain build and the DuckDB monolithic oracle
@@ -506,6 +517,79 @@ SELECT query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
 """
 
 
+def q_bm25_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase ``slop`` parity (Lucene sloppy phrase): a doc
+    matches iff one position per phrase constraint can be chosen
+    (distinct for repeated terms) with every pairwise adjusted
+    displacement ≤ slop — transpositions match at slop 2. Ranking is
+    the disjunctive BM25 over the phrase's distinct terms restricted
+    to matching docs, same as the exact-phrase entry."""
+    from .operators.search import search_phrase
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(SLOP_PHRASE_QUERIES, "query_id long, qtext string")
+    return _rerank_rounded(search_phrase(spark, idx, qdf, k=20, n_ranges=3,
+                                         slop=SLOP))
+
+
+def _phrase_slop_oracle_sql(k: int = 10, slop: int = SLOP) -> str:
+    """DuckDB sloppy-phrase twin, exact by construction: the documented
+    window semantics (max−min of adjusted positions ≤ slop ⟺ ALL
+    pairwise |(p_i−o_i)−(p_j−o_j)| ≤ slop) is an n-way positional join
+    with pairwise range predicates, plus p_i <> p_j for constraints
+    sharing a term (a token occupies one position)."""
+    from .textops import tokenize
+    pos_cte = f"""
+, tokord AS (
+  SELECT docid,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')))) AS ord
+  FROM ids
+), tokpos AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) - 1 AS pos
+  FROM tokord WHERE length(term) <= 64
+)"""
+    per_q = []
+    for qid, qtext in SLOP_PHRASE_QUERIES:
+        toks = tokenize(qtext)
+        joins = "\n".join(
+            f"  JOIN tokpos t{i} ON t{i}.docid = t0.docid AND t{i}.term = '{t}'"
+            for i, t in enumerate(toks[1:], start=1))
+        preds = []
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                preds.append(f"abs((t{i}.pos - {i}) - (t{j}.pos - {j})) <= {slop}")
+                if toks[i] == toks[j]:
+                    preds.append(f"t{i}.pos <> t{j}.pos")
+        where = f"t0.term = '{toks[0]}'" + "".join(f"\n      AND {p}" for p in preds)
+        terms_in = ", ".join(f"'{t}'" for t in sorted(set(toks)))
+        per_q.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, tf.docid,
+       sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+FROM tf
+JOIN dfs d USING (term)
+JOIN dl USING (docid)
+CROSS JOIN stats s
+WHERE tf.term IN ({terms_in})
+  AND tf.docid IN (
+    SELECT DISTINCT t0.docid FROM tokpos t0
+{joins}
+    WHERE {where})
+GROUP BY tf.docid""")
+    union = "\nUNION ALL\n".join(per_q)
+    return f"""{_CORPUS_CTES_DUCK}{pos_cte}
+, scored AS ({union})
+, ranked AS (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
 def _ensure_recrawl(spark: SparkSession, sf_dir: str) -> list[str]:
     """Base index over the v1 crawl of the WHOLE corpus + a tombstone
     delta over the re-crawled subset (doc_id % 10 == 3, revised text,
@@ -931,6 +1015,7 @@ QUERIES: dict[str, callable] = {
     "bm25_topk_engine_single": q_bm25_topk_engine_single,
     "bm25_brute_sql": q_bm25_brute_sql,
     "bm25_phrase": q_bm25_phrase,
+    "bm25_phrase_slop": q_bm25_phrase_slop,
     "index_stats": q_index_stats,
     "incremental_delta": q_incremental_delta,
     "incremental_recrawl": q_incremental_recrawl,
@@ -958,6 +1043,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk_engine_single": _bm25_oracle_sql(),
     "bm25_brute_sql": _BRUTE_DUCK_SQL,
     "bm25_phrase": _phrase_oracle_sql(),
+    "bm25_phrase_slop": _phrase_slop_oracle_sql(),
     "index_stats": SQL_INDEX_STATS,
     "incremental_delta": _bm25_oracle_sql(by_url=True),
     "incremental_recrawl": _bm25_oracle_sql(

@@ -726,6 +726,33 @@ FROM embeddings
 """
 
 
+def q_scalar_math_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5 folded (driver-cap consolidation, round 5 — the freed slot
+    covers bm25_phrase_slop): math fns over lineitem and array fns over
+    embeddings, union-tagged into one common schema. Both operators stay
+    fully oracle-checked through the fold."""
+    m = q_scalar_math(spark, sf_dir).select(
+        F.lit("math").alias("src"), F.col("bucket7").alias("key"),
+        F.col("sum_log_price").alias("v1"), F.col("avg_max_rate").alias("v2"),
+        F.col("sum_qty_decade").alias("v3"))
+    a = q_scalar_array(spark, sf_dir).select(
+        F.lit("array").alias("src"), F.col("vec_id").cast("long").alias("key"),
+        F.col("first_val").alias("v1"), F.col("l2_norm").alias("v2"),
+        F.col("dim").alias("v3"))
+    return m.unionByName(a)
+
+
+SQL_SCALAR_MATH_ARRAY = f"""
+SELECT 'math' AS src, bucket7 AS key, sum_log_price AS v1, avg_max_rate AS v2,
+       sum_qty_decade AS v3
+FROM ({SQL_SCALAR_MATH})
+UNION ALL
+SELECT 'array' AS src, CAST(vec_id AS BIGINT) AS key, first_val AS v1,
+       l2_norm AS v2, dim AS v3
+FROM ({SQL_SCALAR_ARRAY})
+"""
+
+
 # ---------------------------------------------------------------------------
 # as-of join (J5): latest order at-or-before each event, per user
 # ---------------------------------------------------------------------------
@@ -843,8 +870,7 @@ QUERIES2 = {
     "scalar_string_hash": q_scalar_string_hash,
     "scalar_url_host": q_scalar_url_host,
     "scalar_datetime_json": q_scalar_datetime_json,
-    "scalar_math": q_scalar_math,
-    "scalar_array": q_scalar_array,
+    "scalar_math_array": q_scalar_math_array,
     "asof_join": q_asof_join,
     "agg_approx_distinct": q_agg_approx_distinct,
     "postings_codec_check": q_postings_codec_check,
@@ -872,8 +898,7 @@ ORACLES2 = {
     "scalar_string_hash": SQL_SCALAR_STRING_HASH,
     "scalar_url_host": SQL_SCALAR_URL_HOST,
     "scalar_datetime_json": SQL_SCALAR_DATETIME_JSON,
-    "scalar_math": SQL_SCALAR_MATH,
-    "scalar_array": SQL_SCALAR_ARRAY,
+    "scalar_math_array": SQL_SCALAR_MATH_ARRAY,
     "asof_join": SQL_ASOF_JOIN,
     # rows-only by design: postings_codec_check (binary codec),
     # agg_approx_distinct (HLL sketch values are engine-specific)

@@ -119,8 +119,12 @@ def decode_fragments_to_tokens(spark: SparkSession, dirs: list[str]) -> DataFram
                 for term, payload, blks in zip(pdf["term"], pdf["postings"],
                                                pdf["blocks"]):
                     buf = np.frombuffer(payload, dtype=np.uint8)
-                    parts = [decode_block_keep_pos(buf, int(b["offset"]))
-                             for b in blks]
+                    # bound each block's continuation-bit scan with the
+                    # NEXT block's offset (offsets are ascending): the
+                    # unbounded scan is O(row_bytes × n_blocks)
+                    offs = [int(b["offset"]) for b in blks] + [buf.size]
+                    parts = [decode_block_keep_pos(buf, offs[i], offs[i + 1])
+                             for i in range(len(blks))]
                     if not parts:
                         continue
                     posb: list[bytes] = []

@@ -111,23 +111,41 @@ def split_delta_pages(spark: SparkSession, pages: DataFrame,
     A url re-crawled with an OLDER-or-equal warc_ts is NOT a re-crawl
     (the frozen latest-wins dedup would keep the base version) and is
     dropped like any already-indexed url.
+
+    The batch is deduplicated latest-wins per url FIRST (same frozen
+    §1.3.3 window as the build's P4): a batch holding two crawls of the
+    same url, both newer than the indexed copy, must supersede that one
+    live doc exactly ONCE — joining the raw rows would tombstone the
+    same docid once per matching page row, silently corrupting
+    N_eff/avgdl_eff and the dead-docid array's uniqueness invariant.
     """
+    from pyspark.sql.window import Window
+
     from .search import load_tombstones
+
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"),
+                                          F.desc_nulls_last("text"))
+    pages = (pages.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
 
     # urls already superseded by an EARLIER tombstone delta are dead in
     # their original dir — only the LIVE copy of a url may be re-crawled
     # (otherwise a twice-re-crawled url would enter the delta twice and
-    # its dead docid would be tombstoned twice)
+    # its dead docid would be tombstoned twice). Broadcast anti-join,
+    # not a driver-built isin literal: the dead set is budget-bounded
+    # (load_tombstones) but an In-expression over a collected python
+    # list bloats the plan and the task closure linearly with it.
     dead, _ = load_tombstones(spark, base_dirs)
-    dead_list = [int(x) for x in dead]
+    dead_df = (spark.createDataFrame([(int(x),) for x in dead], "docid long")
+               if dead.size else None)
 
     fresh = pages
     recrawled = None
     tombstones = None
     for d in base_dirs:
         done = spark.read.parquet(IndexPaths(d).doclens)
-        if dead_list:
-            done = done.filter(~F.col("docid").isin(dead_list))
+        if dead_df is not None:
+            done = done.join(F.broadcast(dead_df), "docid", "left_anti")
         base = done.select("url", "docid", "dl",
                            F.col("warc_ts").alias("base_ts"))
         hits = (pages.join(base, "url")

@@ -46,7 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codec import decode_block, decode_block_positions
+from ..codec import decode_block, decode_block_ext, decode_positions_at
 from ..config import FORMAT_VERSION, TOP_K
 from ..scoring import idf as _idf
 from ..textops import tokenize_series
@@ -108,9 +108,18 @@ def load_tombstones(spark: SparkSession, dirs) -> tuple[np.ndarray, int]:
     Returns (sorted dead docid array, Σdl of dead docs). Collected to
     the driver: tombstones are bounded by re-crawls per delta between
     compactions — the same cardinality class as the query-term lists
-    the scorers already broadcast. Compaction purges them.
+    the scorers already broadcast. Compaction purges them; the bound is
+    ENFORCED (config.TOMBSTONE_BUDGET): past it this raises instead of
+    silently bloating every scorer closure and broadcast.
+
+    Defense in depth: docids are DEDUPLICATED across the chain before
+    the Σdl — a duplicate tombstone row (e.g. from a buggy writer)
+    would otherwise corrupt N_eff/avgdl_eff and feed a non-unique
+    array into the assume_unique np.isin calls downstream.
     """
     import pandas as pd
+
+    from ..config import TOMBSTONE_BUDGET
     frames = []
     for d in _as_dirs(dirs):
         tpath = os.path.join(d, "tombstones")
@@ -119,7 +128,15 @@ def load_tombstones(spark: SparkSession, dirs) -> tuple[np.ndarray, int]:
             frames.append(spark.read.parquet(tpath).select("docid", "dl").toPandas())
     if not frames:
         return np.empty(0, dtype=np.int64), 0
-    pdf = pd.concat(frames, ignore_index=True)
+    pdf = pd.concat(frames, ignore_index=True).drop_duplicates("docid")
+    if len(pdf) > TOMBSTONE_BUDGET:
+        raise ValueError(
+            f"index chain carries {len(pdf)} tombstoned docids, past the "
+            f"enforced budget of {TOMBSTONE_BUDGET} (config.TOMBSTONE_BUDGET / "
+            f"$AARHUS_TOMBSTONE_BUDGET). The dead-docid set rides in every "
+            f"scorer closure and broadcast — compact the chain "
+            f"(operators.compact.compact_indexes purges tombstones "
+            f"physically) before querying it further.")
     dead = np.sort(pdf["docid"].to_numpy(np.int64))
     return dead, int(pdf["dl"].sum())
 
@@ -685,25 +702,120 @@ def analyze_phrase_queries(queries: DataFrame) -> DataFrame:
     return queries.mapInPandas(tok, schema="query_id long, qpos int, term string")
 
 
+def _sloppy_match(phrase: list[tuple[int, str]],
+                  per_term: dict[str, tuple], inter: np.ndarray,
+                  slop: int) -> np.ndarray:
+    """Local indexes (into ``inter``) of docs matching the phrase with
+    ``slop`` (semantics in :func:`_phrase_one_query`).
+
+    max−min of the chosen adjusted positions ≤ slop ⟺ they all fit in a
+    window [w, w+slop], and WLOG w is one of the observed adjusted
+    values — so the candidate window starts are the union of every
+    constraint's (local_doc << 32 | adjusted) keys, and a window is
+    feasible iff EVERY constraint has a key in [w, w+slop] for that doc
+    (one vectorized searchsorted per constraint). Adjusted = pos − o +
+    o_max keeps keys non-negative. Constraints sharing a term must then
+    use DISTINCT raw positions — verified per (matched doc, window) by
+    an exact greedy interval matching, only when the phrase actually
+    repeats a term."""
+    o_max = max(o for o, _ in phrase)
+    keys_per_constraint: list[np.ndarray] = []
+    for o, t in phrase:
+        d, tf, _dl, pos = per_term[t]
+        docc = np.repeat(d, tf)
+        local = np.searchsorted(inter, docc).astype(np.int64)
+        adj = pos.astype(np.int64) - o + o_max          # ≥ 0 (pos ≥ 0, o ≤ o_max)
+        keys_per_constraint.append(np.unique((local << np.int64(32)) | adj))
+    window_starts = np.unique(np.concatenate(keys_per_constraint))
+    ok = np.ones(window_starts.size, dtype=bool)
+    for keys in keys_per_constraint:
+        idx = np.searchsorted(keys, window_starts, side="left")
+        valid = idx < keys.size
+        kv = keys[np.minimum(idx, keys.size - 1)]
+        # first key ≥ w must be in the SAME doc and within w+slop (same
+        # doc → the int64 difference is the pure adjusted-position gap)
+        valid &= (kv >> np.int64(32)) == (window_starts >> np.int64(32))
+        valid &= (kv - window_starts) <= slop
+        ok &= valid
+        if not ok.any():
+            return np.empty(0, dtype=np.int64)
+    feasible = window_starts[ok]
+    matched_local = np.unique(feasible >> np.int64(32))
+
+    # distinctness for repeated terms (rare): exact greedy interval
+    # matching per (doc, feasible window) — intervals sorted by right
+    # endpoint, each takes the smallest unused position; optimal for
+    # same-length intervals with ascending endpoints.
+    offsets_of: dict[str, list[int]] = {}
+    for o, t in phrase:
+        offsets_of.setdefault(t, []).append(o)
+    rep_terms = {t: sorted(os_) for t, os_ in offsets_of.items() if len(os_) > 1}
+    if not rep_terms:
+        return matched_local
+    wdoc = feasible >> np.int64(32)
+    wadj = feasible & np.int64(0xFFFFFFFF)
+    keep: list[int] = []
+    for dl_ in matched_local.tolist():
+        docid = int(inter[dl_])
+        pos_of = {}
+        for t in rep_terms:
+            d, tf, _dl, pos = per_term[t]
+            docc = np.repeat(d, tf)
+            pos_of[t] = np.sort(pos[docc == docid].astype(np.int64))
+        for w in wadj[wdoc == dl_].tolist():
+            all_ok = True
+            for t, offs in rep_terms.items():
+                positions = pos_of[t]
+                used = np.iinfo(np.int64).min
+                for o in offs:
+                    lo, hi = w - o_max + o, w - o_max + o + slop
+                    i = int(np.searchsorted(positions, max(lo, used + 1), side="left"))
+                    if i >= positions.size or positions[i] > hi:
+                        all_ok = False
+                        break
+                    used = int(positions[i])
+                if not all_ok:
+                    break
+            if all_ok:
+                keep.append(dl_)
+                break
+    return np.asarray(keep, dtype=np.int64)
+
+
 def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
                       n_docs: int, avgdl: float, k: int, dfg: dict,
                       range_lo: int = 0, range_hi: int | None = None,
-                      dead: np.ndarray | None = None) -> pd.DataFrame:
-    """Exact match_phrase + BM25 top-k over one query's candidate rows.
+                      dead: np.ndarray | None = None,
+                      slop: int = 0) -> pd.DataFrame:
+    """match_phrase (+ slop) + BM25 top-k over one query's candidate rows.
 
     Semantics (documented contract, ES match_phrase parity on the
-    filter side): a doc matches iff the exact token sequence occurs —
-    for every (offset o, term t) of the analyzed phrase there is one
-    anchor position a with a+o ∈ positions(doc, t). Matching docs are
-    ranked by the standard disjunctive BM25 sum over the phrase's
-    DISTINCT terms (frozen fold order §1.3.4) — score set is a subset
-    of the disjunctive scorer's, so the DuckDB twin is the disjunctive
-    oracle restricted to phrase-matching docs.
+    filter side):
 
-    Vectorized end to end: anchors are intersected as (local_doc_id <<
-    32 | shifted position) int64 keys via np.intersect1d — local dense
+    - ``slop=0`` (exact): a doc matches iff the exact token sequence
+      occurs — for every (offset o, term t) of the analyzed phrase
+      there is one anchor position a with a+o ∈ positions(doc, t).
+    - ``slop=s`` (proximity, ES match_phrase ``slop`` / Lucene sloppy
+      phrase): a doc matches iff one document position can be chosen
+      per phrase constraint — DISTINCT positions for constraints
+      sharing a term (a token occupies one position) — such that every
+      pairwise displacement |(p_i − o_i) − (p_j − o_j)| ≤ s;
+      equivalently max−min of the adjusted positions ≤ s. This is the
+      adjusted-position window Lucene's SloppyPhraseScorer accepts
+      (transposed terms match at slop 2, per the ES docs), and it is
+      exactly SQL-expressible (pairwise range predicates), which keeps
+      the DuckDB twin exact-by-construction.
+
+    Matching docs are ranked by the standard disjunctive BM25 sum over
+    the phrase's DISTINCT terms (frozen fold order §1.3.4) — the score
+    set is a subset of the disjunctive scorer's, so the DuckDB twin is
+    the disjunctive oracle restricted to matching docs.
+
+    Vectorized end to end: anchors/window-starts are intersected as
+    (local_doc_id << 32 | shifted position) int64 keys — local dense
     doc ids (not raw docids) so the composite can never overflow at
-    10^12-docid scale.
+    10^12-docid scale; the per-doc Python fallback runs ONLY for the
+    rare repeated-term sloppy phrase, on already-matched docs.
     """
     from ..scoring import partial as _partial
 
@@ -723,11 +835,12 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
     if any(t not in term_rows for t in distinct_terms):
         return empty  # a phrase term has no postings here -> no match
 
-    # PASS 1 — scoring streams only (decode_block never touches the
-    # position bytes): per-term blocks in range, then the conjunctive
-    # docid intersection. Rows/dirs are docid-disjoint so each term's
-    # docids are sorted unique after the ordered concat.
-    per_term_blocks: dict[str, list[tuple]] = {}   # (d, tf, dl, buf, off)
+    # PASS 1 — scoring streams only (decode_block_ext never decodes the
+    # position bytes, but records where they start): per-term blocks in
+    # range, then the conjunctive docid intersection. Rows/dirs are
+    # docid-disjoint so each term's docids are sorted unique after the
+    # ordered concat.
+    per_term_blocks: dict[str, list[tuple]] = {}   # (d,tf,dl,buf,pos_off,sel,tf_full)
     per_term: dict[str, tuple] = {}
     for t in distinct_terms:
         blocks = []
@@ -738,11 +851,11 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
             for b in blks:
                 last = int(b["last_docid"])
                 if last >= range_lo and prev_last + 1 <= range_hi:
-                    d, tf, dl = decode_block(buf, int(b["offset"]))
+                    d, tf, dl, pos_off = decode_block_ext(buf, int(b["offset"]))
                     sel = (d >= range_lo) & (d <= range_hi)
                     if sel.any():
                         blocks.append((d[sel], tf[sel], dl[sel], buf,
-                                       int(b["offset"]), sel))
+                                       pos_off, sel, tf))
                 prev_last = last
         if not blocks:
             return empty
@@ -762,16 +875,17 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
 
     # PASS 2 — decode the position stream ONLY for blocks that still
     # hold a candidate (for a selective phrase over a common term this
-    # skips the bulk of the expensive stream), and keep only candidate
-    # docs' rows per term.
+    # skips the bulk of the expensive stream), picking it up at the
+    # byte offset pass 1 recorded — the scoring streams are never
+    # decoded twice. Keep only candidate docs' rows per term.
     for t in distinct_terms:
         ds, tfl, dll, pfl = [], [], [], []
-        for (d, tf, dl, buf, off, sel) in per_term_blocks[t]:
+        for (d, tf, dl, buf, pos_off, sel, tf_full) in per_term_blocks[t]:
             keep = np.isin(d, inter, assume_unique=True)
             if not keep.any():
                 continue
-            _d2, tf2, _dl2, pos = decode_block_positions(buf, off)
-            pos = pos[np.repeat(sel, tf2)]       # range-restrict like pass 1
+            pos = decode_positions_at(buf, pos_off, tf_full)
+            pos = pos[np.repeat(sel, tf_full)]    # range-restrict like pass 1
             ds.append(d[keep]); tfl.append(tf[keep]); dll.append(dl[keep])
             pfl.append(pos[np.repeat(keep, tf)])
         if not ds:
@@ -779,22 +893,30 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
         per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
                        np.concatenate(dll), np.concatenate(pfl))
 
-    # anchor intersection over every (offset, term) constraint
-    anchors: np.ndarray | None = None
-    for o, t in phrase:
-        d, tf, _dl, pos = per_term[t]
-        docc = np.repeat(d, tf)
-        keep = np.isin(docc, inter, assume_unique=False) & (pos >= o)
-        if not keep.any():
+    if slop <= 0:
+        # exact adjacency: anchor intersection over every (offset, term)
+        # constraint. Repeated terms need no distinctness check here —
+        # one anchor a serves offsets o≠o' with distinct positions a+o,
+        # a+o' automatically.
+        anchors: np.ndarray | None = None
+        for o, t in phrase:
+            d, tf, _dl, pos = per_term[t]
+            docc = np.repeat(d, tf)
+            keep = pos >= o                      # docc ⊆ inter by pass 2
+            if not keep.any():
+                return empty
+            local = np.searchsorted(inter, docc[keep]).astype(np.int64)
+            key = (local << np.int64(32)) | (pos[keep].astype(np.int64) - o)
+            key = np.unique(key)
+            anchors = key if anchors is None else np.intersect1d(
+                anchors, key, assume_unique=True)
+            if anchors.size == 0:
+                return empty
+        matched_local = np.unique(anchors >> np.int64(32))
+    else:
+        matched_local = _sloppy_match(phrase, per_term, inter, slop)
+        if matched_local.size == 0:
             return empty
-        local = np.searchsorted(inter, docc[keep]).astype(np.int64)
-        key = (local << np.int64(32)) | (pos[keep].astype(np.int64) - o)
-        key = np.unique(key)
-        anchors = key if anchors is None else np.intersect1d(
-            anchors, key, assume_unique=True)
-        if anchors.size == 0:
-            return empty
-    matched_local = np.unique(anchors >> np.int64(32))
     matched = inter[matched_local]
 
     # BM25 over the distinct phrase terms, sorted-term fold order
@@ -820,13 +942,15 @@ def search_phrase(
     queries: DataFrame,
     k: int = TOP_K,
     n_ranges: int | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase top-k (ES match_phrase parity) over the positional
-    index. Dispatches like :func:`search_topk`: small index -> one
+    """Phrase top-k (ES match_phrase parity, incl. ``slop`` proximity —
+    semantics in :func:`_phrase_one_query`) over the positional index.
+    Dispatches like :func:`search_topk`: small index -> one
     applyInPandas group per query; large -> chunk-parallel groups over
-    fixed docid ranges (exact: a doc's anchors are evaluated entirely
-    inside the one range that contains its docid, and every term row
-    whose span covers that docid joins the range)."""
+    fixed docid ranges (exact: a doc's anchors/windows are evaluated
+    entirely inside the one range that contains its docid, and every
+    term row whose span covers that docid joins the range)."""
     from pyspark.sql.window import Window
 
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
@@ -853,7 +977,7 @@ def search_phrase(
 
         def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
             return _phrase_one_query(g, phrases[int(key[0])], n_docs, avgdl,
-                                     k, dfg, dead=dead)
+                                     k, dfg, dead=dead, slop=slop)
 
         return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
 
@@ -873,7 +997,8 @@ def search_phrase(
     def run_rng(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
         return _phrase_one_query(g, phrases[int(key[0])], n_docs, avgdl, k, dfg,
                                  range_lo=int(g["lo"].iloc[0]),
-                                 range_hi=int(g["hi"].iloc[0]), dead=dead)
+                                 range_hi=int(g["hi"].iloc[0]), dead=dead,
+                                 slop=slop)
 
     cands = seg_r.groupBy("query_id", "rng").applyInPandas(run_rng, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
