@@ -129,6 +129,10 @@ def main() -> None:
          ("query", "table")] * 5)]
     pqdf = spark.createDataFrame(ph, "query_id long, qtext string")
     timed("search_phrase_25q", lambda: search_phrase(spark, idx_dir, pqdf).count())
+    # sloppy variant (round 5): proximity window match, slop=2 —
+    # transposed / one-gap pairs widen the candidate and position work
+    timed("search_phrase_slop_25q",
+          lambda: search_phrase(spark, idx_dir, pqdf, slop=2).count())
 
     # X7 compaction: split the corpus into base (even doc_id urls) +
     # delta, then compact the 2-dir chain into one index — the only

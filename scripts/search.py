@@ -7,8 +7,10 @@
 
 ``--index`` accepts a comma-separated chain (base,delta,...) —
 tombstone deltas are masked automatically. ``--mode phrase`` treats
-each query text as an exact phrase (match_phrase over the positional
-postings); ``--require-all`` makes wand/taat conjunctive (bool.must).
+each query text as a phrase (match_phrase over the positional
+postings); ``--slop N`` relaxes it to proximity matching (ES
+match_phrase slop — transpositions match at slop 2);
+``--require-all`` makes wand/taat conjunctive (bool.must).
 """
 
 from __future__ import annotations
@@ -35,6 +37,9 @@ def main() -> None:
                          "chunk-parallel path; wand-single forces one group/query")
     ap.add_argument("--ranges", type=int, default=None,
                     help="override the docid-range fan-out (default: from stats)")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="phrase mode: max total displacement between the "
+                         "query's token layout and the matched positions")
     ap.add_argument("--require-all", action="store_true",
                     help="conjunctive bool.must: docs must match every "
                          "analyzed query term")
@@ -62,7 +67,8 @@ def main() -> None:
         res = search_wand(spark, index, qdf, k=args.k,
                           require_all=args.require_all)
     elif args.mode == "phrase":
-        res = search_phrase(spark, index, qdf, k=args.k, n_ranges=args.ranges)
+        res = search_phrase(spark, index, qdf, k=args.k, n_ranges=args.ranges,
+                            slop=args.slop)
     else:
         res = search_taat(spark, index, qdf, k=args.k,
                           require_all=args.require_all)
