@@ -392,3 +392,46 @@ def test_codec_bounded_and_ext_decoders():
         got_d.append(d3)
     assert (np.concatenate(got_d) == docids).all()
     assert (np.concatenate(got_pos) == pos).all()
+
+
+# ---------------------------------------------------------------------------
+# property test: _sloppy_match kernel ≡ brute force on random tiny docs
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:          # pragma: no cover
+    HAVE_HYP = False
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis not installed")
+@settings(max_examples=300, deadline=None)
+@given(doc=st.lists(st.sampled_from("abc"), min_size=1, max_size=12),
+       phrase=st.lists(st.sampled_from("abc"), min_size=1, max_size=3),
+       slop=st.integers(min_value=0, max_value=4))
+def test_sloppy_match_kernel_property(doc, phrase, slop):
+    """The vectorized window-feasibility kernel (+ repeated-term greedy)
+    must agree with the brute-force contract oracle on every tiny doc ×
+    phrase × slop — including repeated terms and absent terms."""
+    from aarhus_spark.operators.search import _sloppy_match
+    per_term = {}
+    for t in set(phrase):
+        positions = np.array([i for i, tok in enumerate(doc) if tok == t],
+                             dtype=np.int64)
+        if positions.size == 0:
+            per_term = None
+            break
+        per_term[t] = (np.array([0], dtype=np.int64),          # docid
+                       np.array([positions.size], dtype=np.int64),
+                       np.array([len(doc)], dtype=np.int64),
+                       positions)
+    expect = _slop_match_py(doc, list(phrase), slop)
+    if per_term is None:
+        assert not expect
+        return
+    inter = np.array([0], dtype=np.int64)
+    constraints = list(enumerate(phrase))
+    got = _sloppy_match(constraints, per_term, inter, slop).size > 0
+    assert got == expect, (doc, phrase, slop)
