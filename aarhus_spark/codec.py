@@ -367,13 +367,29 @@ def decode_block_ext(payload: bytes | np.ndarray, offset: int) -> tuple[np.ndarr
 
 
 def decode_positions_at(payload: bytes | np.ndarray, pos_off: int,
-                        tfs: np.ndarray) -> np.ndarray:
+                        tfs: np.ndarray, end: int | None = None) -> np.ndarray:
     """Decode a v4 block's position stream given its start offset (from
     :func:`decode_block_ext`) and the block's tfs — flat positions,
-    posting i owns the next tf_i values."""
+    posting i owns the next tf_i values.
+
+    ``end`` bounds the stream at the NEXT block's byte offset (or the
+    payload length for the last block). With it, a position-less
+    (v3-style) or truncated payload raises instead of silently decoding
+    the next block's header bytes as position deltas — the stream must
+    both FIT within [pos_off, end) and END there exactly (a trailing
+    gap means the offsets don't describe this payload)."""
     buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
     tfs = np.asarray(tfs, dtype=np.int64)
-    pdeltas, _ = vbyte_decode(buf, int(tfs.sum()), pos_off)
+    view = buf if end is None else buf[:end]
+    try:
+        pdeltas, nxt = vbyte_decode(view, int(tfs.sum()), pos_off)
+    except ValueError as e:
+        raise ValueError("decode_positions_at: position stream truncated "
+                         "or absent (v3-style payload?)") from e
+    if end is not None and nxt != end:
+        raise ValueError(
+            f"decode_positions_at: position stream ended at byte {nxt}, "
+            f"expected block end {end} — payload/offset mismatch")
     return _pos_undelta(pdeltas, tfs)
 
 

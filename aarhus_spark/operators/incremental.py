@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -136,7 +137,10 @@ def split_delta_pages(spark: SparkSession, pages: DataFrame,
     # (load_tombstones) but an In-expression over a collected python
     # list bloats the plan and the task closure linearly with it.
     dead, _ = load_tombstones(spark, base_dirs)
-    dead_df = (spark.createDataFrame([(int(x),) for x in dead], "docid long")
+    # Arrow path (pandas frame), not a Python list of tuples: bounded by
+    # TOMBSTONE_BUDGET but row-by-row driver serialization is needlessly
+    # slow near the 2M ceiling
+    dead_df = (spark.createDataFrame(pd.DataFrame({"docid": dead.astype("int64")}))
                if dead.size else None)
 
     fresh = pages

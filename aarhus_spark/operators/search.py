@@ -350,7 +350,11 @@ def search_taat(
     decoded = seg.select("term", "blocks", "postings").mapInPandas(
         decode, schema="term string, docid long, contrib double")
     if dead.size:
-        dead_df = spark.createDataFrame([(int(x),) for x in dead], "docid long")
+        # Arrow path, not a Python list of tuples: the dead set is
+        # budget-bounded at TOMBSTONE_BUDGET (2M) and a row-by-row
+        # driver serialization is needlessly slow near that ceiling
+        dead_df = spark.createDataFrame(
+            pd.DataFrame({"docid": dead.astype(np.int64)}))
         decoded = decoded.join(F.broadcast(dead_df), "docid", "left_anti")
 
     scored = (
@@ -840,7 +844,7 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
     # range, then the conjunctive docid intersection. Rows/dirs are
     # docid-disjoint so each term's docids are sorted unique after the
     # ordered concat.
-    per_term_blocks: dict[str, list[tuple]] = {}   # (d,tf,dl,buf,pos_off,sel,tf_full)
+    per_term_blocks: dict[str, list[tuple]] = {}   # (d,tf,dl,buf,pos_off,sel,tf_full,blk_end)
     per_term: dict[str, tuple] = {}
     for t in distinct_terms:
         blocks = []
@@ -848,14 +852,19 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
                 term_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
             buf = np.frombuffer(payload, dtype=np.uint8)
             prev_last = int(first) - 1
-            for b in blks:
+            for bi, b in enumerate(blks):
                 last = int(b["last_docid"])
                 if last >= range_lo and prev_last + 1 <= range_hi:
                     d, tf, dl, pos_off = decode_block_ext(buf, int(b["offset"]))
                     sel = (d >= range_lo) & (d <= range_hi)
                     if sel.any():
+                        # end bound = next block's offset (payload end for
+                        # the last block) so pass 2's position decode is
+                        # validated against the block boundary
+                        blk_end = (int(blks[bi + 1]["offset"])
+                                   if bi + 1 < len(blks) else buf.size)
                         blocks.append((d[sel], tf[sel], dl[sel], buf,
-                                       pos_off, sel, tf))
+                                       pos_off, sel, tf, blk_end))
                 prev_last = last
         if not blocks:
             return empty
@@ -880,11 +889,11 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
     # decoded twice. Keep only candidate docs' rows per term.
     for t in distinct_terms:
         ds, tfl, dll, pfl = [], [], [], []
-        for (d, tf, dl, buf, pos_off, sel, tf_full) in per_term_blocks[t]:
+        for (d, tf, dl, buf, pos_off, sel, tf_full, blk_end) in per_term_blocks[t]:
             keep = np.isin(d, inter, assume_unique=True)
             if not keep.any():
                 continue
-            pos = decode_positions_at(buf, pos_off, tf_full)
+            pos = decode_positions_at(buf, pos_off, tf_full, end=blk_end)
             pos = pos[np.repeat(sel, tf_full)]    # range-restrict like pass 1
             ds.append(d[keep]); tfl.append(tf[keep]); dll.append(dl[keep])
             pfl.append(pos[np.repeat(keep, tf)])

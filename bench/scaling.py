@@ -174,8 +174,12 @@ def main() -> None:
               "pass": headline is not None and headline >= 0.8}
     print(json.dumps(result, indent=1))
 
+    sys.path.insert(0, REPO)
+    from aarhus_spark import __version__ as engine_version
+    from aarhus_spark.config import FORMAT_VERSION
     lines = [
-        "# BENCH/BASELINE — measured scaling evidence",
+        "# BENCH/BASELINE — measured scaling evidence "
+        f"(engine {engine_version}, index format v{FORMAT_VERSION})",
         "",
         f"Protocol: BASELINE.md + bench/scaling.py docstring — identical",
         f"build job, identical seed-42 input of {n_pages} synthetic pages",

@@ -38,8 +38,10 @@ def main() -> None:
     ap.add_argument("--ranges", type=int, default=None,
                     help="override the docid-range fan-out (default: from stats)")
     ap.add_argument("--slop", type=int, default=0,
-                    help="phrase mode: max total displacement between the "
-                         "query's token layout and the matched positions")
+                    help="phrase mode: max pairwise displacement between the "
+                         "query's token layout and the matched positions "
+                         "(max-min adjusted window <= slop; transpositions "
+                         "match at slop 2) -- NOT a sum over tokens")
     ap.add_argument("--require-all", action="store_true",
                     help="conjunctive bool.must: docs must match every "
                          "analyzed query term")
