@@ -204,19 +204,47 @@ _CORPUS_CTES_DUCK = _corpus_ctes_duck()
 def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
                      conjunctive: bool = False,
                      queries: list | None = None,
-                     corpus_ctes: str | None = None) -> str:
+                     corpus_ctes: str | None = None,
+                     min_should_match: int | None = None,
+                     neg_queries: list | None = None) -> str:
     """Full-corpus BM25 oracle. ``by_url=True`` keys results by url
     (rank tiebreak on url) — the docid-independent form the incremental
     base+delta entry compares against (docid SPACES differ by design
     between a monolithic build and base+delta; scores don't).
     ``conjunctive=True`` = ES bool.must: every analyzed query term must
-    match (counting HAVING on the same aggregation)."""
+    match (counting HAVING on the same aggregation).
+    ``min_should_match=m`` relaxes that to >= m matched terms;
+    ``neg_queries`` = [(query_id, neg_text)] ES bool.must_not — docs
+    matching ANY analyzed excluded term are anti-joined out before
+    ranking (non-scoring, like ES)."""
     queries = queries if queries is not None else FLAGSHIP_QUERIES
     corpus = corpus_ctes if corpus_ctes is not None else _CORPUS_CTES_DUCK
     vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
     key, tie = ("url", "url") if by_url else ("docid", "docid")
-    having = ("HAVING count(*) = (SELECT count(*) FROM qterms q2 "
-              "WHERE q2.query_id = q.query_id)" if conjunctive else "")
+    if conjunctive:
+        having = ("HAVING count(*) = (SELECT count(*) FROM qterms q2 "
+                  "WHERE q2.query_id = q.query_id)")
+    elif min_should_match is not None:
+        having = f"HAVING count(*) >= {int(min_should_match)}"
+    else:
+        having = ""
+    neg_ctes = neg_filter = ""
+    negs = [(qid, nt) for qid, nt in (neg_queries or []) if nt is not None]
+    if negs:
+        nvals = ", ".join(f"({qid}, '{nt}')" for qid, nt in negs)
+        neg_ctes = f"""
+, nraw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, ntext
+  FROM (VALUES {nvals}) AS nq(query_id, ntext)
+), nterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(ntext), '{TOKEN_SQL_RE}')) AS term
+    FROM nraw) z WHERE length(term) <= 64
+), excl AS (
+  SELECT DISTINCT n.query_id, tf.docid FROM tf JOIN nterms n USING (term)
+)"""
+        neg_filter = ("WHERE NOT EXISTS (SELECT 1 FROM excl e "
+                      "WHERE e.query_id = sc.query_id AND e.docid = sc.docid)")
     return f"""{corpus}
 , qraw AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, qtext
@@ -225,7 +253,7 @@ def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
   SELECT DISTINCT query_id, term FROM (
     SELECT query_id, unnest(regexp_extract_all(lower(qtext), '{TOKEN_SQL_RE}')) AS term
     FROM qraw) z WHERE length(term) <= 64
-), scored AS (
+){neg_ctes}, scored AS (
   SELECT q.query_id, tf.docid,
          sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
               * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
@@ -238,6 +266,7 @@ def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
   {having}
 ), keyed AS (
   SELECT sc.query_id, i.docid, i.url, sc.score FROM scored sc JOIN ids i USING (docid)
+  {neg_filter}
 ), ranked AS (
   SELECT query_id, {key}, round(score, 6) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -451,6 +480,40 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
     return _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=3,
                                        require_all=True))
+
+
+# ES bool-query set: per-query must_not text + a global
+# minimum_should_match=2. must_not is load-bearing at the driver's
+# sf0.01 (DuckDB-verified: 10/7 of queries 0/1's plain top-10 docids
+# are excluded); query 2 has no exclusion (control); query 3 has one
+# in-vocabulary positive term + two OOV, so msm=2 empties it — the
+# matched-count filter is non-vacuous (the documents corpus is only 31
+# terms with near-total co-occurrence, so msm can't prune inside a
+# top-10 here; its selective behavior is pinned on the 5000-term
+# fixture corpus in tests/test_bool_query.py).
+BOOL_HARNESS_QUERIES = [
+    (0, "spark data query", "table"),
+    (1, "the merge window scan", "hash"),
+    (2, "hash join table scan", None),
+    (3, "spark quantumnotaterm fluxnotaterm", None),
+]
+BOOL_MSM = 2
+
+
+def q_bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-query completion (round 6): should-clauses with
+    minimum_should_match=2 plus per-query must_not exclusions, routed
+    through the chunk-parallel WAND path (lazy per-interval decode of
+    excluded-term blocks; bit-identical to search_taat — asserted in
+    tests/test_bool_query.py). The DuckDB twin anti-joins excluded
+    (query, doc) pairs and counts matched terms in the same
+    aggregation."""
+    from .operators.search import search_topk
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(BOOL_HARNESS_QUERIES,
+                                "query_id long, qtext string, neg_qtext string")
+    return _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=3,
+                                       min_should_match=BOOL_MSM))
 
 
 def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,6 +1085,7 @@ QUERIES: dict[str, callable] = {
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "bm25_bool": q_bm25_bool,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "join_broadcast": q_join_broadcast,
@@ -1052,6 +1116,10 @@ ORACLES: dict[str, str] = {
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),
+    "bm25_bool": _bm25_oracle_sql(
+        queries=[(q, t) for q, t, _ in BOOL_HARNESS_QUERIES],
+        min_should_match=BOOL_MSM,
+        neg_queries=[(q, n) for q, t, n in BOOL_HARNESS_QUERIES]),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
     "join_broadcast": SQL_JOIN_BROADCAST,

@@ -10,6 +10,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .harness import _hash_duck as HD
 from .harness import _reg, _t
@@ -618,48 +619,53 @@ FROM s GROUP BY user_id, sid
 # scalar function families (F1-F8)
 # ---------------------------------------------------------------------------
 
-def q_scalar_string_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1+F8 folded (driver-cap consolidation, round 4): string fns and
-    binary/hash fns over the same part rows."""
+def q_scalar_string_url_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F8 folded (driver-cap consolidation, round 6 — frees a
+    registry slot for bm25_bool while every scalar family stays fully
+    oracle-checked): string fns (lower/substring/length/concat_ws/trim),
+    url/host extraction (regexp over a synthesized document url), and
+    hash fns (md5/sha2/portable 60-bit) over part names AND document
+    urls in one pass; per-host counts keep the old url_host aggregation
+    covered too."""
     from .harness import _hash_spark
-    return _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.lower("p_name").alias("lname"),
-        F.substring("p_type", 1, 5).alias("type5"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.trim(F.col("p_name")).alias("trimmed"),
-        F.md5("p_name").alias("md5_hex"),
-        F.sha2(F.col("p_name"), 256).alias("sha256_hex"),
-        F.expr(_hash_spark("p_name")).alias("h60"),
-    )
-
-
-SQL_SCALAR_STRING_HASH = f"""
-SELECT p_partkey, lower(p_name) AS lname, substring(p_type, 1, 5) AS type5,
-       CAST(length(p_name) AS BIGINT) AS name_len,
-       concat_ws('|', p_brand, p_type) AS brand_type, trim(p_name) AS trimmed,
-       md5(p_name) AS md5_hex, sha256(p_name) AS sha256_hex,
-       {HD('p_name')} AS h60
-FROM part
-"""
-
-
-def q_scalar_url_host(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    docs = (
         _t(spark, sf_dir, "documents")
         .withColumn("url", F.concat(F.lit("https://"), "source",
                                     F.lit(".example/d/"), F.col("doc_id").cast("string")))
         .withColumn("host", F.regexp_extract("url", "https?://([^/]+)/", 1))
-        .groupBy("host").agg(F.count("*").alias("n_docs"))
+    )
+    return docs.select(
+        "doc_id",
+        "host",
+        F.count("*").over(Window.partitionBy("host")).alias("host_docs"),
+        F.lower("url").alias("lurl"),
+        F.substring("url", 9, 12).alias("url9_12"),
+        F.length("url").cast("long").alias("url_len"),
+        F.concat_ws("|", "source", "lang").alias("src_lang"),
+        F.trim(F.concat(F.lit("  "), "source", F.lit("  "))).alias("trimmed"),
+        F.md5("url").alias("md5_hex"),
+        F.sha2(F.col("url"), 256).alias("sha256_hex"),
+        F.expr(_hash_spark("url")).alias("h60"),
     )
 
 
-SQL_SCALAR_URL_HOST = """
-SELECT regexp_extract('https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR),
-                      'https?://([^/]+)/', 1) AS host,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM documents GROUP BY 1
+SQL_SCALAR_STRING_URL_HASH = f"""
+WITH u AS (
+  SELECT doc_id, source, lang,
+         'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), h AS (
+  SELECT *, regexp_extract(url, 'https?://([^/]+)/', 1) AS host FROM u
+)
+SELECT doc_id, host,
+       CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS host_docs,
+       lower(url) AS lurl, substring(url, 9, 12) AS url9_12,
+       CAST(length(url) AS BIGINT) AS url_len,
+       concat_ws('|', source, lang) AS src_lang,
+       trim('  ' || source || '  ') AS trimmed,
+       md5(url) AS md5_hex, sha256(url) AS sha256_hex,
+       {HD('url')} AS h60
+FROM h
 """
 
 
@@ -867,8 +873,7 @@ QUERIES2 = {
     "stream_dedup": q_stream_dedup,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
-    "scalar_string_hash": q_scalar_string_hash,
-    "scalar_url_host": q_scalar_url_host,
+    "scalar_string_url_hash": q_scalar_string_url_hash,
     "scalar_datetime_json": q_scalar_datetime_json,
     "scalar_math_array": q_scalar_math_array,
     "asof_join": q_asof_join,
@@ -895,8 +900,7 @@ ORACLES2 = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "events_sliding": SQL_EVENTS_SLIDING,
     "events_session": SQL_EVENTS_SESSION,
-    "scalar_string_hash": SQL_SCALAR_STRING_HASH,
-    "scalar_url_host": SQL_SCALAR_URL_HOST,
+    "scalar_string_url_hash": SQL_SCALAR_STRING_URL_HASH,
     "scalar_datetime_json": SQL_SCALAR_DATETIME_JSON,
     "scalar_math_array": SQL_SCALAR_MATH_ARRAY,
     "asof_join": SQL_ASOF_JOIN,

@@ -199,6 +199,28 @@ def analyze_queries(queries: DataFrame) -> DataFrame:
     return queries.mapInPandas(tok, schema="query_id long, term string")
 
 
+def analyze_neg_queries(queries: DataFrame) -> DataFrame | None:
+    """ES bool.must_not clause analysis: if the queries DataFrame
+    carries a nullable ``neg_qtext`` column, analyze it with the SAME
+    frozen tokenizer as the positive text and return distinct
+    (query_id, term) exclusion pairs; None when the column is absent
+    (the common no-bool case costs nothing)."""
+    if "neg_qtext" not in queries.columns:
+        return None
+    nq = (queries.filter(F.col("neg_qtext").isNotNull())
+          .select("query_id", F.col("neg_qtext").alias("qtext")))
+    return analyze_queries(nq)
+
+
+def _check_bool_args(require_all: bool, min_should_match: int | None) -> None:
+    if require_all and min_should_match is not None:
+        raise ValueError("require_all (bool.must over every term) and "
+                         "min_should_match are mutually exclusive — must is "
+                         "minimum_should_match = |analyzed terms|")
+    if min_should_match is not None and min_should_match < 1:
+        raise ValueError(f"min_should_match must be >= 1, got {min_should_match}")
+
+
 # ---------------------------------------------------------------------------
 # Q3: candidate segment rows with term pushdown
 # ---------------------------------------------------------------------------
@@ -309,6 +331,7 @@ def search_taat(
     queries: DataFrame,
     k: int = TOP_K,
     require_all: bool = False,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Distributed top-k. Returns (query_id, rank, docid, score).
 
@@ -317,16 +340,38 @@ def search_taat(
     including out-of-vocabulary terms, which therefore empty the result
     (exactly ES's behavior for a must-clause on a missing term). The
     filter is a counting predicate on the same aggregation the
-    disjunctive fold already does: zero extra shuffles."""
+    disjunctive fold already does: zero extra shuffles.
+
+    ``min_should_match=m`` (ES ``bool.should`` + ``minimum_should_match``):
+    a document scores only if it matches at least m distinct analyzed
+    terms; the score sums over the terms it DOES match (standard ES
+    should-clause scoring). Same counting predicate, ``>=`` instead of
+    ``==``. A query with fewer in-vocabulary terms than m empties
+    naturally (an OOV should-clause can never match).
+
+    ``bool.must_not``: a nullable ``neg_qtext`` column on the queries
+    DataFrame is analyzed with the same tokenizer; a document matching
+    ANY excluded term is dropped before ranking and excluded terms
+    contribute nothing to the score (ES non-scoring must_not). One
+    decode pass serves both sides: excluded-term postings join the same
+    decoded stream flagged ``is_neg``, so exclusion is a per-(query,
+    doc) flag on the aggregation the disjunctive fold already does —
+    zero extra shuffles, no second decode."""
     from pyspark.sql.window import Window
 
+    _check_bool_args(require_all, min_should_match)
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
+    nq = analyze_neg_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
-    seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+    neg_terms = _collect_terms(nq) if nq is not None else []
+    if not neg_terms:
+        nq = None
+    all_terms = sorted(set(terms) | set(neg_terms))
+    seg = candidate_segments(spark, index_dir, all_terms)
+    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..scoring import partial as _partial
@@ -357,18 +402,39 @@ def search_taat(
             pd.DataFrame({"docid": dead.astype(np.int64)}))
         decoded = decoded.join(F.broadcast(dead_df), "docid", "left_anti")
 
-    scored = (
-        decoded.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "docid")
-        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
-        .withColumn("score", F.aggregate(
-            "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
-    )
+    if nq is None:
+        scored = (
+            decoded.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "docid")
+            .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+            .withColumn("score", F.aggregate(
+                "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
+        )
+    else:
+        # must_not in the SAME aggregation: the decoded stream joins the
+        # union of positive and excluded query terms; collect_list skips
+        # the nulled must_not structs (fold order over positive terms is
+        # unchanged) while max(is_neg) flags excluded (query, doc) pairs
+        qterms_all = qterms.withColumn("is_neg", F.lit(False)).unionByName(
+            nq.withColumn("is_neg", F.lit(True)))
+        scored = (
+            decoded.join(F.broadcast(qterms_all), "term")
+            .groupBy("query_id", "docid")
+            .agg(F.sort_array(F.collect_list(
+                    F.when(~F.col("is_neg"), F.struct("term", "contrib"))
+                 )).alias("cs"),
+                 F.max("is_neg").alias("neg_hit"))
+            .filter(~F.col("neg_hit") & (F.size("cs") > 0)).drop("neg_hit")
+            .withColumn("score", F.aggregate(
+                "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
+        )
     if require_all:
         # |matched terms| per (query, doc) vs |analyzed terms| per query
         qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
         scored = (scored.join(F.broadcast(qn), "query_id")
                   .filter(F.size("cs") == F.col("qn")).drop("qn"))
+    elif min_should_match is not None:
+        scored = scored.filter(F.size("cs") >= F.lit(min_should_match))
     scored = scored.drop("cs")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
@@ -385,7 +451,7 @@ def search_taat(
 def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                     dfg: dict | None = None,
                     range_lo: int = 0, range_hi: int | None = None,
-                    require_n: int | None = None,
+                    min_match: int | None = None,
                     dead: np.ndarray | None = None) -> pd.DataFrame:
     """When (range_lo, range_hi) restrict the docid space, only docs in
     that range are scored (blocks outside are never decoded) — the
@@ -393,16 +459,25 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     range: a doc's full term set is present in any group that contains
     rows overlapping its docid.
 
-    ``require_n`` (conjunctive / ES bool.must on the WAND path): a doc
-    scores only if it matches exactly ``require_n`` distinct query
-    terms (= all of them; the caller passes |analyzed terms| and
-    handles the OOV→empty case). Block-max pruning stays valid — the
-    disjunctive interval bound is an upper bound for the conjunctive
-    subset — and two extra skips apply: intervals covered by fewer
-    than ``require_n`` distinct terms can't contain a match, and the
-    per-doc term count falls out of the contribution entries for free
-    (a doc appears in at most one covering block per term, so entries
-    per doc = matched distinct terms).
+    ``min_match`` (ES bool semantics on the WAND path): a doc scores
+    only if it matches at least ``min_match`` distinct query terms.
+    ``bool.must`` (require_all) passes |analyzed terms| — a doc can
+    match at most that many, so ``>=`` degenerates to "all of them",
+    and an OOV must-term empties the result exactly like ES;
+    ``minimum_should_match=m`` passes m directly. Block-max pruning
+    stays valid — the disjunctive interval bound is an upper bound for
+    any matched subset — and two extra skips apply: intervals covered
+    by fewer than ``min_match`` distinct positive terms can't contain
+    a match, and the per-doc term count falls out of the contribution
+    entries for free (a doc appears in at most one covering block per
+    term, so entries per doc = matched distinct terms).
+
+    ``bool.must_not``: rows flagged ``is_neg`` (excluded-term posting
+    rows joined into the group by the caller) contribute NO score and
+    no interval upper bound; their blocks are decoded LAZILY — only in
+    intervals that actually get scored — and every candidate docid they
+    contain is masked before the heap, so an excluded doc is never
+    returned. Non-scoring exclusion, exactly ES must_not.
 
     ``dead`` (tombstoned docids, sorted int64): masked out of every
     candidate set before the heap — the re-crawl overwrite path
@@ -413,6 +488,18 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     if range_hi is None:
         range_hi = np.iinfo(np.int64).max
     qid = int(g["query_id"].iloc[0])
+    gneg = None
+    if "is_neg" in g.columns:
+        neg_mask = g["is_neg"].astype(bool)
+        gneg = g[neg_mask]
+        g = g[~neg_mask]
+        if len(g) == 0:
+            # no positive term has postings here — nothing can score
+            # (a must_not-only query is not a top-k relevance query)
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int32"),
+                                 "docid": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
     # term-level structures; chunks of the same term behave as extra
     # blocks. Plain column zip — no pandas row materialization (the
     # codebase idiom; an iterrows here costs one Python Series build per
@@ -449,6 +536,25 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                                ti, buf, int(b["offset"])))
                 prev_last = int(b["last_docid"])
 
+    # must_not blocks ride the same table with term index -1: zero
+    # upper-bound contribution (they can only REMOVE candidates), but
+    # present in the interval cover so the gather loop can decode them
+    # lazily and mask their docids
+    if gneg is not None and len(gneg):
+        neg_rows: dict[str, list[tuple]] = {}
+        for row in zip(gneg["term"], gneg["chunk"], gneg["first_docid"],
+                       gneg["df"], gneg["blocks"], gneg["postings"]):
+            neg_rows.setdefault(row[0], []).append(row)
+        for t in sorted(neg_rows):
+            for (_t, _chunk, first_docid, _df, blks, payload) in sorted(
+                    neg_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                prev_last = int(first_docid) - 1
+                for b in blks:
+                    blocks.append((prev_last + 1, int(b["last_docid"]), 0.0,
+                                   -1, buf, int(b["offset"])))
+                    prev_last = int(b["last_docid"])
+
     # drop blocks wholly outside the docid range, then build
     # elementary intervals at the surviving block ends
     blocks = [b for b in blocks if b[1] >= range_lo and b[0] <= range_hi]
@@ -474,20 +580,32 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of top-k
     theta = -np.inf
     decoded_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    neg_cache: dict[int, np.ndarray] = {}   # must_not block docids
 
     for iv in order:
         if len(heap) >= k and ubs[iv] < theta:
             break  # every remaining interval is strictly below the kth score
-        if require_n is not None and len({blocks[b][3] for b in cover[iv]}) < require_n:
-            continue  # conjunctive: some mandatory term absent from the interval
+        if min_match is not None and len(
+                {blocks[b][3] for b in cover[iv]} - {-1}) < min_match:
+            continue  # fewer positive terms cover the interval than must match
         lo_d = max(int(starts[iv]), range_lo)
         hi_d = min(int(ends[iv]), range_hi)
         if lo_d > hi_d:
             continue
-        # gather contributions per term in sorted-term order
+        # gather contributions per term in sorted-term order; must_not
+        # blocks (ti = -1, sorted first) only collect exclusion docids
         per_term: list[tuple[np.ndarray, np.ndarray]] = []
+        excl: list[np.ndarray] = []
         for bi in sorted(cover[iv], key=lambda b: blocks[b][3]):
             s, e, ub, ti, buf, off = blocks[bi]
+            if ti < 0:
+                if bi not in neg_cache:
+                    neg_cache[bi] = decode_block(buf, off)[0]
+                dneg = neg_cache[bi]
+                mneg = (dneg >= lo_d) & (dneg <= hi_d)
+                if mneg.any():
+                    excl.append(dneg[mneg])
+                continue
             if bi not in decoded_cache:
                 d, t, l = decode_block(buf, off)
                 decoded_cache[bi] = (d, idfs[terms[ti]] * _partial(t, l, avgdl))
@@ -502,9 +620,14 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
         uniq, inv = np.unique(alld, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, allc)  # adds in array order = sorted term order
-        if require_n is not None:
+        if min_match is not None:
             # entries per doc = matched distinct terms (≤1 block/term/doc)
-            keep = np.bincount(inv, minlength=uniq.size) == require_n
+            keep = np.bincount(inv, minlength=uniq.size) >= min_match
+            uniq, scores = uniq[keep], scores[keep]
+            if uniq.size == 0:
+                continue
+        if excl:
+            keep = ~np.isin(uniq, np.concatenate(excl))
             uniq, scores = uniq[keep], scores[keep]
             if uniq.size == 0:
                 continue
@@ -551,12 +674,28 @@ def _qn_map(qterms: DataFrame) -> dict[int, int]:
     return {int(r["query_id"]): int(r["qn"]) for r in rows}
 
 
+def _qterms_with_neg(qterms: DataFrame, nq: DataFrame | None
+                     ) -> tuple[DataFrame, list[str] | None]:
+    """Union positive and must_not (query_id, term) pairs with an
+    ``is_neg`` flag for the WAND group join; returns (joinable qterms,
+    neg term list or None when there are no exclusions)."""
+    if nq is None:
+        return qterms, None
+    neg_terms = _collect_terms(nq)
+    if not neg_terms:
+        return qterms, None
+    qall = qterms.withColumn("is_neg", F.lit(False)).unionByName(
+        nq.withColumn("is_neg", F.lit(True)))
+    return qall, neg_terms
+
+
 def search_wand(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
     k: int = TOP_K,
     require_all: bool = False,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Per-query exact top-k with block-max pruning; one applyInPandas
     group per query (ES-style shard fan-in happens inside the group —
@@ -564,21 +703,27 @@ def search_wand(
     to the corpus). ``require_all=True`` = conjunctive bool.must with
     mandatory-term interval skipping (see _wand_one_query) — the scale
     path for conjunctive queries; bit-identical to
-    ``search_taat(require_all=True)`` (asserted in tests)."""
+    ``search_taat(require_all=True)`` (asserted in tests).
+    ``min_should_match`` and a ``neg_qtext`` column (bool.must_not)
+    carry the remaining ES bool semantics — see search_taat; all three
+    paths are bit-identical (asserted in tests)."""
+    _check_bool_args(require_all, min_should_match)
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
-    seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+    qterms_j, neg_terms = _qterms_with_neg(qterms, analyze_neg_queries(queries))
+    all_terms = sorted(set(terms) | set(neg_terms or []))
+    seg = candidate_segments(spark, index_dir, all_terms)
+    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
     qn = _qn_map(qterms) if require_all else None
-    seg_q = seg.join(F.broadcast(qterms), "term")
+    seg_q = seg.join(F.broadcast(qterms_j), "term")
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
-        rn = qn[int(key[0])] if qn is not None else None
+        mm = qn[int(key[0])] if qn is not None else min_should_match
         return _wand_one_query(g, n_docs, avgdl, k, dfg,
-                               require_n=rn, dead=dead)
+                               min_match=mm, dead=dead)
 
     return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
 
@@ -598,19 +743,24 @@ def search_topk(
     k: int = TOP_K,
     n_ranges: int | None = None,
     require_all: bool = False,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """THE default query path. Derives the chunk-parallel fan-out from
     the index stats and dispatches: one range → single-group WAND (small
     index fast path, no merge stage); otherwise chunk-parallel WAND over
     docid ranges (no task ever holds a full head posting list).
     ``require_all=True`` routes conjunctive (ES bool.must) semantics
-    through the same WAND paths."""
+    through the same WAND paths; ``min_should_match`` and a
+    ``neg_qtext`` queries column (bool.must_not) complete the ES bool
+    query surface (see search_taat)."""
     n_docs, _, _ = load_stats_multi(_as_dirs(index_dir))
     nr = n_ranges if n_ranges is not None else default_n_ranges(n_docs)
     if nr <= 1:
-        return search_wand(spark, index_dir, queries, k=k, require_all=require_all)
+        return search_wand(spark, index_dir, queries, k=k, require_all=require_all,
+                           min_should_match=min_should_match)
     return search_wand_ranges(spark, index_dir, queries, k=k, n_ranges=nr,
-                              require_all=require_all)
+                              require_all=require_all,
+                              min_should_match=min_should_match)
 
 
 def search_wand_ranges(
@@ -620,6 +770,7 @@ def search_wand_ranges(
     k: int = TOP_K,
     n_ranges: int = 8,
     require_all: bool = False,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Chunk-parallel exact WAND — the 10^12-scale query path.
 
@@ -634,16 +785,19 @@ def search_wand_ranges(
     """
     from pyspark.sql.window import Window
 
+    _check_bool_args(require_all, min_should_match)
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
     terms = _collect_terms(qterms)
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
-    seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+    qterms_j, neg_terms = _qterms_with_neg(qterms, analyze_neg_queries(queries))
+    all_terms = sorted(set(terms) | set(neg_terms or []))
+    seg = candidate_segments(spark, index_dir, all_terms)
+    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
     qn = _qn_map(qterms) if require_all else None
     seg = seg.withColumn("__max_docid", F.element_at("blocks", -1)["last_docid"])
-    seg_q = seg.join(F.broadcast(qterms), "term")
+    seg_q = seg.join(F.broadcast(qterms_j), "term")
 
     # range bounds from the ACTUAL docid domain (per-dir docid_offset +
     # N), not [0, n_docs): a delta index queried alone has all docids
@@ -669,11 +823,11 @@ def search_wand_ranges(
                        & (F.col("first_docid") <= F.col("hi")))
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
-        rn = qn[int(key[0])] if qn is not None else None
+        mm = qn[int(key[0])] if qn is not None else min_should_match
         return _wand_one_query(g, n_docs, avgdl, k, dfg,
                                range_lo=int(g["lo"].iloc[0]),
                                range_hi=int(g["hi"].iloc[0]),
-                               require_n=rn, dead=dead)
+                               min_match=mm, dead=dead)
 
     cands = seg_r.groupBy("query_id", "rng").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))

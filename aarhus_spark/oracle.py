@@ -87,11 +87,22 @@ def build(rows: list[dict]) -> OracleIndex:
     return OracleIndex(n_docs=n, avgdl=avgdl, urls=urls, dls=dls, postings=postings)
 
 
-def search(index: OracleIndex, qtext: str, k: int = TOP_K) -> list[tuple[int, int, float]]:
-    """BM25 top-k for one query -> [(rank, docid, score)], disjunctive,
-    ordered by (score desc, docid asc); term sum in sorted term order."""
+def search(index: OracleIndex, qtext: str, k: int = TOP_K,
+           neg_qtext: str | None = None,
+           min_should_match: int | None = None,
+           require_all: bool = False) -> list[tuple[int, int, float]]:
+    """BM25 top-k for one query -> [(rank, docid, score)], ordered by
+    (score desc, docid asc); term sum in sorted term order.
+
+    ES bool semantics (mirrors operators/search.py, independently):
+    ``require_all`` = bool.must — every analyzed term (OOV included)
+    must match; ``min_should_match=m`` — at least m distinct analyzed
+    terms must match, score over the matched ones; ``neg_qtext`` =
+    bool.must_not — docs matching ANY excluded term are dropped,
+    excluded terms never score."""
     terms = sorted(set(tokenize(qtext)))
     acc: dict[int, float] = {}
+    cnt: dict[int, int] = {}
     for t in terms:  # sorted order fixes FP addition order (§1.3.4)
         if t not in index.postings:
             continue
@@ -100,6 +111,16 @@ def search(index: OracleIndex, qtext: str, k: int = TOP_K) -> list[tuple[int, in
         contrib = w * _partial(tfs, index.dls[docids], index.avgdl)
         for d, c in zip(docids.tolist(), contrib.tolist()):
             acc[d] = acc.get(d, 0.0) + c
+            cnt[d] = cnt.get(d, 0) + 1
+    m = len(terms) if require_all else min_should_match
+    if m is not None:
+        acc = {d: s for d, s in acc.items() if cnt[d] >= m}
+    if neg_qtext is not None:
+        excl: set[int] = set()
+        for t in set(tokenize(neg_qtext)):
+            if t in index.postings:
+                excl.update(index.postings[t][0].tolist())
+        acc = {d: s for d, s in acc.items() if d not in excl}
     ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
 

@@ -3,6 +3,7 @@
     spark-submit --py-files engine.zip scripts/search.py \
         --index /path/index --queries /path/queries_parquet \
         [--k 10] [--mode wand|taat|phrase] [--require-all] \
+        [--min-should-match M] [--must-not "excluded terms"] \
         [--out /path/results]
 
 ``--index`` accepts a comma-separated chain (base,delta,...) —
@@ -10,7 +11,12 @@ tombstone deltas are masked automatically. ``--mode phrase`` treats
 each query text as a phrase (match_phrase over the positional
 postings); ``--slop N`` relaxes it to proximity matching (ES
 match_phrase slop — transpositions match at slop 2);
-``--require-all`` makes wand/taat conjunctive (bool.must).
+``--require-all`` makes wand/taat conjunctive (bool.must);
+``--min-should-match M`` keeps docs matching >= M analyzed terms
+(bool.should + minimum_should_match); ``--must-not TEXT`` excludes
+docs matching ANY term of TEXT (bool.must_not, non-scoring) — it
+applies to every query, on top of any per-query ``neg_qtext`` column
+already present in the queries parquet.
 """
 
 from __future__ import annotations
@@ -45,6 +51,12 @@ def main() -> None:
     ap.add_argument("--require-all", action="store_true",
                     help="conjunctive bool.must: docs must match every "
                          "analyzed query term")
+    ap.add_argument("--min-should-match", type=int, default=None,
+                    help="bool.should minimum_should_match: docs must match "
+                         "at least M distinct analyzed query terms")
+    ap.add_argument("--must-not", default=None, metavar="TEXT",
+                    help="bool.must_not: exclude docs matching ANY analyzed "
+                         "term of TEXT (applied to every query)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -58,22 +70,26 @@ def main() -> None:
     spark = get_spark("aarhus-search", master=args.master)
     index = args.index.split(",") if "," in args.index else args.index
     qdf = read_queries(spark, args.queries)
+    if args.must_not is not None:
+        from pyspark.sql import functions as F
+        neg = (F.concat_ws(" ", "neg_qtext", F.lit(args.must_not))
+               if "neg_qtext" in qdf.columns else F.lit(args.must_not))
+        qdf = qdf.withColumn("neg_qtext", neg)
+    bool_kw = dict(require_all=args.require_all,
+                   min_should_match=args.min_should_match)
     if args.mode == "wand":
         res = search_topk(spark, index, qdf, k=args.k, n_ranges=args.ranges,
-                          require_all=args.require_all)
+                          **bool_kw)
     elif args.mode == "wand-ranges":
         res = search_wand_ranges(spark, index, qdf, k=args.k,
-                                 n_ranges=args.ranges or 8,
-                                 require_all=args.require_all)
+                                 n_ranges=args.ranges or 8, **bool_kw)
     elif args.mode == "wand-single":
-        res = search_wand(spark, index, qdf, k=args.k,
-                          require_all=args.require_all)
+        res = search_wand(spark, index, qdf, k=args.k, **bool_kw)
     elif args.mode == "phrase":
         res = search_phrase(spark, index, qdf, k=args.k, n_ranges=args.ranges,
                             slop=args.slop)
     else:
-        res = search_taat(spark, index, qdf, k=args.k,
-                          require_all=args.require_all)
+        res = search_taat(spark, index, qdf, k=args.k, **bool_kw)
     if args.out:
         res.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.out)
     else:
