@@ -862,9 +862,14 @@ def analyze_phrase_queries(queries: DataFrame) -> DataFrame:
 
 def _sloppy_match(phrase: list[tuple[int, str]],
                   per_term: dict[str, tuple], inter: np.ndarray,
-                  slop: int) -> np.ndarray:
+                  slop: int,
+                  want_width: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
     """Local indexes (into ``inter``) of docs matching the phrase with
-    ``slop`` (semantics in :func:`_phrase_one_query`).
+    ``slop`` (semantics in :func:`_phrase_one_query`), plus — when
+    ``want_width`` — each matched doc's MINIMUM window width (max−min
+    of the chosen adjusted positions over all valid assignments), the
+    proximity-scoring signal; None otherwise. Returns
+    ``(matched_local, widths | None)``.
 
     max−min of the chosen adjusted positions ≤ slop ⟺ they all fit in a
     window [w, w+slop], and WLOG w is one of the observed adjusted
@@ -875,7 +880,15 @@ def _sloppy_match(phrase: list[tuple[int, str]],
     o_max keeps keys non-negative. Constraints sharing a term must then
     use DISTINCT raw positions — verified per (matched doc, window) by
     an exact greedy interval matching, only when the phrase actually
-    repeats a term."""
+    repeats a term.
+
+    Width exactness: for window start w, taking each constraint's FIRST
+    key ≥ w minimizes the assignment's maximum; at w = (the optimal
+    assignment's minimum value, itself an observed key) that greedy
+    choice has min ≥ w and max ≤ the optimal max, so its width is ≤ —
+    hence = — the optimum. min over feasible w is therefore the true
+    minimum width, at zero extra searchsorted cost (the per-constraint
+    first keys are already in hand)."""
     o_max = max(o for o, _ in phrase)
     keys_per_constraint: list[np.ndarray] = []
     for o, t in phrase:
@@ -886,6 +899,7 @@ def _sloppy_match(phrase: list[tuple[int, str]],
         keys_per_constraint.append(np.unique((local << np.int64(32)) | adj))
     window_starts = np.unique(np.concatenate(keys_per_constraint))
     ok = np.ones(window_starts.size, dtype=bool)
+    maxkv = window_starts.copy()        # running max of chosen (first) keys
     for keys in keys_per_constraint:
         idx = np.searchsorted(keys, window_starts, side="left")
         valid = idx < keys.size
@@ -896,7 +910,10 @@ def _sloppy_match(phrase: list[tuple[int, str]],
         valid &= (kv - window_starts) <= slop
         ok &= valid
         if not ok.any():
-            return np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=np.int64), (np.empty(0, dtype=np.int64)
+                                                 if want_width else None)
+        if want_width:
+            np.maximum(maxkv, kv, out=maxkv, where=ok)
     feasible = window_starts[ok]
     matched_local = np.unique(feasible >> np.int64(32))
 
@@ -909,10 +926,20 @@ def _sloppy_match(phrase: list[tuple[int, str]],
         offsets_of.setdefault(t, []).append(o)
     rep_terms = {t: sorted(os_) for t, os_ in offsets_of.items() if len(os_) > 1}
     if not rep_terms:
-        return matched_local
+        if not want_width:
+            return matched_local, None
+        # min over each doc's feasible windows of (max chosen − w)
+        wdoc = feasible >> np.int64(32)
+        wwid = (maxkv - window_starts)[ok]
+        widths = np.full(matched_local.size, np.int64(slop), dtype=np.int64)
+        np.minimum.at(widths, np.searchsorted(matched_local, wdoc), wwid)
+        return matched_local, widths
     wdoc = feasible >> np.int64(32)
     wadj = feasible & np.int64(0xFFFFFFFF)
     keep: list[int] = []
+    widths_l: list[int] = []
+    single_keys = [(o, keys) for (o, _t), keys in zip(phrase, keys_per_constraint)
+                   if _t not in rep_terms]
     for dl_ in matched_local.tolist():
         docid = int(inter[dl_])
         pos_of = {}
@@ -920,8 +947,10 @@ def _sloppy_match(phrase: list[tuple[int, str]],
             d, tf, _dl, pos = per_term[t]
             docc = np.repeat(d, tf)
             pos_of[t] = np.sort(pos[docc == docid].astype(np.int64))
+        best_w: int | None = None
         for w in wadj[wdoc == dl_].tolist():
             all_ok = True
+            chosen_min, chosen_max = None, None
             for t, offs in rep_terms.items():
                 positions = pos_of[t]
                 used = np.iinfo(np.int64).min
@@ -932,19 +961,39 @@ def _sloppy_match(phrase: list[tuple[int, str]],
                         all_ok = False
                         break
                     used = int(positions[i])
+                    if want_width:
+                        adj = used - o + o_max    # back to window coordinates
+                        chosen_min = adj if chosen_min is None else min(chosen_min, adj)
+                        chosen_max = adj if chosen_max is None else max(chosen_max, adj)
                 if not all_ok:
                     break
-            if all_ok:
+            if all_ok and want_width:
+                # non-repeated constraints: first key ≥ (doc, w), already
+                # known feasible within [w, w+slop] from the window pass
+                base = (np.int64(dl_) << np.int64(32)) | np.int64(w)
+                for _o, keys in single_keys:
+                    kv = int(keys[np.searchsorted(keys, base, side="left")])
+                    adj = kv & 0xFFFFFFFF
+                    chosen_min = adj if chosen_min is None else min(chosen_min, adj)
+                    chosen_max = adj if chosen_max is None else max(chosen_max, adj)
+                wd = int(chosen_max - chosen_min) if chosen_min is not None else 0
+                best_w = wd if best_w is None else min(best_w, wd)
+            elif all_ok:
                 keep.append(dl_)
                 break
-    return np.asarray(keep, dtype=np.int64)
+        if want_width and best_w is not None:
+            keep.append(dl_)
+            widths_l.append(best_w)
+    return (np.asarray(keep, dtype=np.int64),
+            np.asarray(widths_l, dtype=np.int64) if want_width else None)
 
 
 def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
                       n_docs: int, avgdl: float, k: int, dfg: dict,
                       range_lo: int = 0, range_hi: int | None = None,
                       dead: np.ndarray | None = None,
-                      slop: int = 0) -> pd.DataFrame:
+                      slop: int = 0,
+                      score_mode: str = "bm25") -> pd.DataFrame:
     """match_phrase (+ slop) + BM25 top-k over one query's candidate rows.
 
     Semantics (documented contract, ES match_phrase parity on the
@@ -968,6 +1017,16 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
     the phrase's DISTINCT terms (frozen fold order §1.3.4) — the score
     set is a subset of the disjunctive scorer's, so the DuckDB twin is
     the disjunctive oracle restricted to matching docs.
+
+    ``score_mode="proximity"`` (opt-in, round 6): multiply each matched
+    doc's BM25 sum by 1/(1 + min_window_width), where min_window_width
+    is the smallest max−min of chosen adjusted positions over all valid
+    (distinct-position) assignments — 1.0 for an in-order exact match,
+    decaying as the best match spreads out. The ES/Lucene analogue is
+    SloppyPhraseScorer's 1/(1+matchLength) slop factor; this contract
+    (best match only, not summed over matches) is simpler, documented,
+    and pinned against a brute-force oracle in tests. The default
+    ("bm25") is unchanged — existing driver entries stay bit-stable.
 
     Vectorized end to end: anchors/window-starts are intersected as
     (local_doc_id << 32 | shifted position) int64 keys — local dense
@@ -1076,8 +1135,11 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
             if anchors.size == 0:
                 return empty
         matched_local = np.unique(anchors >> np.int64(32))
+        widths = None
     else:
-        matched_local = _sloppy_match(phrase, per_term, inter, slop)
+        matched_local, widths = _sloppy_match(
+            phrase, per_term, inter, slop,
+            want_width=(score_mode == "proximity"))
         if matched_local.size == 0:
             return empty
     matched = inter[matched_local]
@@ -1089,6 +1151,8 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
         sel = np.isin(d, matched, assume_unique=True)
         idx = np.searchsorted(matched, d[sel])
         scores[idx] += _idf(float(dfg[t]), n_docs) * _partial(tf[sel], dl[sel], avgdl)
+    if score_mode == "proximity" and widths is not None:
+        scores *= 1.0 / (1.0 + widths.astype(np.float64))
 
     order = np.lexsort((matched, -scores))[:k]
     return pd.DataFrame({
@@ -1106,9 +1170,12 @@ def search_phrase(
     k: int = TOP_K,
     n_ranges: int | None = None,
     slop: int = 0,
+    score_mode: str = "bm25",
 ) -> DataFrame:
     """Phrase top-k (ES match_phrase parity, incl. ``slop`` proximity —
-    semantics in :func:`_phrase_one_query`) over the positional index.
+    semantics in :func:`_phrase_one_query`; ``score_mode="proximity"``
+    additionally weights scores by 1/(1+min window width), closest
+    match first) over the positional index.
     Dispatches like :func:`search_topk`: small index -> one
     applyInPandas group per query; large -> chunk-parallel groups over
     fixed docid ranges (exact: a doc's anchors/windows are evaluated
@@ -1140,7 +1207,8 @@ def search_phrase(
 
         def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
             return _phrase_one_query(g, phrases[int(key[0])], n_docs, avgdl,
-                                     k, dfg, dead=dead, slop=slop)
+                                     k, dfg, dead=dead, slop=slop,
+                                     score_mode=score_mode)
 
         return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
 
@@ -1161,7 +1229,7 @@ def search_phrase(
         return _phrase_one_query(g, phrases[int(key[0])], n_docs, avgdl, k, dfg,
                                  range_lo=int(g["lo"].iloc[0]),
                                  range_hi=int(g["hi"].iloc[0]), dead=dead,
-                                 slop=slop)
+                                 slop=slop, score_mode=score_mode)
 
     cands = seg_r.groupBy("query_id", "rng").applyInPandas(run_rng, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))

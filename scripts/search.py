@@ -54,6 +54,11 @@ def main() -> None:
     ap.add_argument("--min-should-match", type=int, default=None,
                     help="bool.should minimum_should_match: docs must match "
                          "at least M distinct analyzed query terms")
+    ap.add_argument("--score-mode", choices=["bm25", "proximity"],
+                    default="bm25",
+                    help="phrase mode: 'proximity' weights BM25 by "
+                         "1/(1+min window width) so the closest match "
+                         "ranks first (slop>0)")
     ap.add_argument("--must-not", default=None, metavar="TEXT",
                     help="bool.must_not: exclude docs matching ANY analyzed "
                          "term of TEXT (applied to every query)")
@@ -87,7 +92,7 @@ def main() -> None:
         res = search_wand(spark, index, qdf, k=args.k, **bool_kw)
     elif args.mode == "phrase":
         res = search_phrase(spark, index, qdf, k=args.k, n_ranges=args.ranges,
-                            slop=args.slop)
+                            slop=args.slop, score_mode=args.score_mode)
     else:
         res = search_taat(spark, index, qdf, k=args.k, **bool_kw)
     if args.out:

@@ -166,6 +166,32 @@ def _slop_match_py(doc_toks, phrase_toks, slop):
     return False
 
 
+def _slop_min_width_py(doc_toks, phrase_toks, slop):
+    """Brute-force minimum window width (max−min of adjusted positions)
+    over all VALID assignments — the proximity-scoring signal."""
+    o_max = len(phrase_toks) - 1
+    cand = []
+    for t in phrase_toks:
+        p = [j for j, tok in enumerate(doc_toks) if tok == t]
+        if not p:
+            return None
+        cand.append(p)
+    best = None
+    for choice in product(*cand):
+        ok = True
+        for i in range(len(choice)):
+            for j in range(i + 1, len(choice)):
+                if phrase_toks[i] == phrase_toks[j] and choice[i] == choice[j]:
+                    ok = False
+                if abs((choice[i] - i) - (choice[j] - j)) > slop:
+                    ok = False
+        if ok:
+            adj = [c - o + o_max for o, c in enumerate(choice)]
+            w = max(adj) - min(adj)
+            best = w if best is None else min(best, w)
+    return best
+
+
 @pytest.fixture(scope="module")
 def slop_idx(spark, tmpdir_session):
     pdf = gen_pages(400)
@@ -433,5 +459,61 @@ def test_sloppy_match_kernel_property(doc, phrase, slop):
         return
     inter = np.array([0], dtype=np.int64)
     constraints = list(enumerate(phrase))
-    got = _sloppy_match(constraints, per_term, inter, slop).size > 0
+    matched, widths = _sloppy_match(constraints, per_term, inter, slop,
+                                    want_width=True)
+    got = matched.size > 0
     assert got == expect, (doc, phrase, slop)
+    # the no-width fast path must match exactly
+    m2, w2 = _sloppy_match(constraints, per_term, inter, slop)
+    assert w2 is None and (m2.size > 0) == got
+    # width: exact minimum over all valid (distinct-position)
+    # assignments, brute-forced
+    if got:
+        wexp = _slop_min_width_py(doc, list(phrase), slop)
+        assert widths.size == 1 and int(widths[0]) == wexp, (doc, phrase, slop)
+
+
+# ---------------------------------------------------------------------------
+# round 6: proximity score mode (opt-in) — closest match ranks higher
+# ---------------------------------------------------------------------------
+
+def test_proximity_score_mode_e2e(spark, slop_idx):
+    """score_mode='proximity' multiplies each matched doc's BM25 sum by
+    1/(1+min window width): verified doc-for-doc against the brute-force
+    width oracle applied to the default-mode scores; match set unchanged;
+    single-group ≡ chunk-parallel; widths genuinely vary on the corpus."""
+    pdf, out = slop_idx
+    toks_by_url = _expected_tokens(pdf)
+    some = [t for t in toks_by_url.values() if len(t) >= 8]
+    a, b = some[5][3:5]
+    ph = f"{b} {a}"                       # transposition: widths 2 when only
+    q = tokenize(ph)                      # 'a b' occurs, 0/1 when 'b a' does
+    qdf = spark.createDataFrame([(0, ph)], "query_id long, qtext string")
+    slop = 3
+    plain = search_phrase(spark, out, qdf, k=100000, n_ranges=3,
+                          slop=slop).toPandas()
+    prox = search_phrase(spark, out, qdf, k=100000, n_ranges=3, slop=slop,
+                         score_mode="proximity").toPandas()
+    prox1 = search_phrase(spark, out, qdf, k=100000, n_ranges=1, slop=slop,
+                          score_mode="proximity").toPandas()
+    pd.testing.assert_frame_equal(
+        prox.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        prox1.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert set(plain["docid"]) == set(prox["docid"])
+    doclens = (spark.read.parquet(IndexPaths(out).doclens)
+               .select("docid", "url").toPandas())
+    url_of = dict(zip(doclens["docid"], doclens["url"]))
+    width_of = {u: _slop_min_width_py(toks, q, slop)
+                for u, toks in toks_by_url.items()}
+    widths_seen = set()
+    pscore = dict(zip(plain["docid"], plain["score"]))
+    for d, s in zip(prox["docid"], prox["score"]):
+        w = width_of[url_of[int(d)]]
+        assert w is not None
+        widths_seen.add(w)
+        assert s == pytest.approx(pscore[int(d)] / (1.0 + w), rel=1e-12)
+    assert len(widths_seen) > 1, "corpus must exercise multiple widths"
+    # ranks follow (weighted score desc, docid asc)
+    pr = prox.sort_values("rank")
+    key = list(zip(-pr["score"], pr["docid"]))
+    assert key == sorted(key)
