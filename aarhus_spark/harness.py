@@ -206,7 +206,8 @@ def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
                      queries: list | None = None,
                      corpus_ctes: str | None = None,
                      min_should_match: int | None = None,
-                     neg_queries: list | None = None) -> str:
+                     neg_queries: list | None = None,
+                     must_queries: list | None = None) -> str:
     """Full-corpus BM25 oracle. ``by_url=True`` keys results by url
     (rank tiebreak on url) — the docid-independent form the incremental
     base+delta entry compares against (docid SPACES differ by design
@@ -216,14 +217,27 @@ def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
     ``min_should_match=m`` relaxes that to >= m matched terms;
     ``neg_queries`` = [(query_id, neg_text)] ES bool.must_not — docs
     matching ANY analyzed excluded term are anti-joined out before
-    ranking (non-scoring, like ES)."""
+    ranking (non-scoring, like ES); ``must_queries`` = [(query_id,
+    must_text)] mixed bool — every analyzed must term (OOV included,
+    via the correlated mterms count) has to match while the queries
+    text becomes the optional should clauses gated by
+    min_should_match (a term in both clauses counts once, as must —
+    the max(kind) dedup mirrors operators/search._qterms_with_kinds)."""
     queries = queries if queries is not None else FLAGSHIP_QUERIES
     corpus = corpus_ctes if corpus_ctes is not None else _CORPUS_CTES_DUCK
     vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
     key, tie = ("url", "url") if by_url else ("docid", "docid")
+    musts = [(qid, mt) for qid, mt in (must_queries or []) if mt is not None]
     if conjunctive:
         having = ("HAVING count(*) = (SELECT count(*) FROM qterms q2 "
                   "WHERE q2.query_id = q.query_id)")
+    elif musts:
+        having = ("HAVING sum(CASE WHEN q.kind = 1 THEN 1 ELSE 0 END) = "
+                  "(SELECT count(*) FROM mterms m2 "
+                  "WHERE m2.query_id = q.query_id)")
+        if min_should_match is not None:
+            having += (f" AND count(*) - sum(CASE WHEN q.kind = 1 THEN 1 "
+                       f"ELSE 0 END) >= {int(min_should_match)}")
     elif min_should_match is not None:
         having = f"HAVING count(*) >= {int(min_should_match)}"
     else:
@@ -245,15 +259,35 @@ def _bm25_oracle_sql(k: int = 10, by_url: bool = False,
 )"""
         neg_filter = ("WHERE NOT EXISTS (SELECT 1 FROM excl e "
                       "WHERE e.query_id = sc.query_id AND e.docid = sc.docid)")
+    if musts:
+        mvals = ", ".join(f"({qid}, '{mt}')" for qid, mt in musts)
+        must_ctes = f"""
+, mraw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, mtext
+  FROM (VALUES {mvals}) AS mq(query_id, mtext)
+), mterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(mtext), '{TOKEN_SQL_RE}')) AS term
+    FROM mraw) z WHERE length(term) <= 64
+)"""
+        qterms_cte = """qterms AS (
+  SELECT query_id, term, max(kind) AS kind FROM (
+    SELECT query_id, term, 0 AS kind FROM sterms
+    UNION ALL SELECT query_id, term, 1 AS kind FROM mterms) u
+  GROUP BY query_id, term
+)"""
+    else:
+        must_ctes = ""
+        qterms_cte = "qterms AS (SELECT query_id, term FROM sterms)"
     return f"""{corpus}
 , qraw AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, qtext
   FROM (VALUES {vals}) AS q(query_id, qtext)
-), qterms AS (
+), sterms AS (
   SELECT DISTINCT query_id, term FROM (
     SELECT query_id, unnest(regexp_extract_all(lower(qtext), '{TOKEN_SQL_RE}')) AS term
     FROM qraw) z WHERE length(term) <= 64
-){neg_ctes}, scored AS (
+){must_ctes}, {qterms_cte}{neg_ctes}, scored AS (
   SELECT q.query_id, tf.docid,
          sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
               * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
@@ -482,36 +516,42 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        require_all=True))
 
 
-# ES bool-query set: per-query must_not text + a global
-# minimum_should_match=2. must_not is load-bearing at the driver's
-# sf0.01 (DuckDB-verified: 10/7 of queries 0/1's plain top-10 docids
-# are excluded); query 2 has no exclusion (control); query 3 has one
-# in-vocabulary positive term + two OOV, so msm=2 empties it — the
-# matched-count filter is non-vacuous (the documents corpus is only 31
-# terms with near-total co-occurrence, so msm can't prune inside a
-# top-10 here; its selective behavior is pinned on the 5000-term
-# fixture corpus in tests/test_bool_query.py).
+# ES bool-query set: (query_id, should text, must_not text, must text)
+# with a global minimum_should_match=2. must_not is load-bearing at the
+# driver's sf0.01 (DuckDB-verified: queries 0/1 lose plain-top-10
+# docids to exclusion); query 1 adds a must clause — "query" displaces
+# 3 of its bool top-10 (DuckDB-verified load-bearing) and "window"
+# also appears in its should text (the counts-once dedup case); query 2 has
+# no exclusion (control); query 3 has one in-vocabulary positive term
+# + two OOV, so msm=2 empties it — the matched-count filter is
+# non-vacuous (the documents corpus is only 31 terms with near-total
+# co-occurrence, so msm can't prune inside a top-10 here; its
+# selective behavior is pinned on the 5000-term fixture corpus in
+# tests/test_bool_query.py).
 BOOL_HARNESS_QUERIES = [
-    (0, "spark data query", "table"),
-    (1, "the merge window scan", "hash"),
-    (2, "hash join table scan", None),
-    (3, "spark quantumnotaterm fluxnotaterm", None),
+    (0, "spark data query", "table", None),
+    (1, "the merge window scan", "hash", "query window"),
+    (2, "hash join table scan", None, None),
+    (3, "spark quantumnotaterm fluxnotaterm", None, None),
 ]
 BOOL_MSM = 2
 
 
 def q_bm25_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool-query completion (round 6): should-clauses with
-    minimum_should_match=2 plus per-query must_not exclusions, routed
-    through the chunk-parallel WAND path (lazy per-interval decode of
-    excluded-term blocks; bit-identical to search_taat — asserted in
-    tests/test_bool_query.py). The DuckDB twin anti-joins excluded
-    (query, doc) pairs and counts matched terms in the same
-    aggregation."""
+    minimum_should_match=2, per-query must_not exclusions, and a mixed
+    must clause (query 1), routed through the chunk-parallel WAND path
+    (lazy per-interval decode of excluded-term blocks; must/should
+    clause-split counting from the contribution entries; bit-identical
+    to search_taat — asserted in tests/test_bool_query.py). The DuckDB
+    twin anti-joins excluded (query, doc) pairs and clause-splits the
+    matched-term counts in the same aggregation via a max(kind)-deduped
+    union of should and must terms."""
     from .operators.search import search_topk
     idx = _ensure_index(spark, sf_dir)
-    qdf = spark.createDataFrame(BOOL_HARNESS_QUERIES,
-                                "query_id long, qtext string, neg_qtext string")
+    qdf = spark.createDataFrame(
+        BOOL_HARNESS_QUERIES,
+        "query_id long, qtext string, neg_qtext string, must_qtext string")
     return _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=3,
                                        min_should_match=BOOL_MSM))
 
@@ -1117,9 +1157,10 @@ ORACLES: dict[str, str] = {
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),
     "bm25_bool": _bm25_oracle_sql(
-        queries=[(q, t) for q, t, _ in BOOL_HARNESS_QUERIES],
+        queries=[(q, t) for q, t, _, _ in BOOL_HARNESS_QUERIES],
         min_should_match=BOOL_MSM,
-        neg_queries=[(q, n) for q, t, n in BOOL_HARNESS_QUERIES]),
+        neg_queries=[(q, n) for q, t, n, _ in BOOL_HARNESS_QUERIES],
+        must_queries=[(q, m) for q, t, n, m in BOOL_HARNESS_QUERIES]),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
     "join_broadcast": SQL_JOIN_BROADCAST,

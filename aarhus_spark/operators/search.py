@@ -189,6 +189,7 @@ def analyze_queries(queries: DataFrame) -> DataFrame:
 
     def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf.dropna(subset=["qtext"])   # must-only bool queries
             if len(pdf) == 0:
                 continue
             ex = pd.DataFrame({"query_id": pdf["query_id"],
@@ -212,11 +213,31 @@ def analyze_neg_queries(queries: DataFrame) -> DataFrame | None:
     return analyze_queries(nq)
 
 
-def _check_bool_args(require_all: bool, min_should_match: int | None) -> None:
+def analyze_must_queries(queries: DataFrame) -> DataFrame | None:
+    """ES bool.must clause analysis: a nullable ``must_qtext`` column
+    holds per-query REQUIRED terms — every analyzed must-term (OOV
+    included) has to match, while ``qtext`` becomes the optional
+    should-clause set (matched count ≥ min_should_match, default 0 when
+    a must clause is present — exactly ES's default). None when the
+    column is absent."""
+    if "must_qtext" not in queries.columns:
+        return None
+    mq = (queries.filter(F.col("must_qtext").isNotNull())
+          .select("query_id", F.col("must_qtext").alias("qtext")))
+    return analyze_queries(mq)
+
+
+def _check_bool_args(require_all: bool, min_should_match: int | None,
+                     has_must: bool = False) -> None:
     if require_all and min_should_match is not None:
         raise ValueError("require_all (bool.must over every term) and "
                          "min_should_match are mutually exclusive — must is "
                          "minimum_should_match = |analyzed terms|")
+    if require_all and has_must:
+        raise ValueError("require_all and a must_qtext column are mutually "
+                         "exclusive — require_all already makes every qtext "
+                         "term a must clause; put required terms in must_qtext "
+                         "and optional ones in qtext instead")
     if min_should_match is not None and min_should_match < 1:
         raise ValueError(f"min_should_match must be >= 1, got {min_should_match}")
 
@@ -354,22 +375,36 @@ def search_taat(
     ANY excluded term is dropped before ranking and excluded terms
     contribute nothing to the score (ES non-scoring must_not). One
     decode pass serves both sides: excluded-term postings join the same
-    decoded stream flagged ``is_neg``, so exclusion is a per-(query,
+    decoded stream flagged by ``kind``, so exclusion is a per-(query,
     doc) flag on the aggregation the disjunctive fold already does —
-    zero extra shuffles, no second decode."""
+    zero extra shuffles, no second decode.
+
+    ``bool.must`` + should (mixed, round 6): a nullable ``must_qtext``
+    column holds per-query REQUIRED terms — a doc scores only if it
+    matches every analyzed must term (OOV must terms empty the query);
+    ``qtext`` then carries the optional should clauses, gated by
+    ``min_should_match`` (default 0 with a must clause present — the
+    ES default). Scores sum over every matched positive term once, in
+    sorted-term fold order (a term in both clauses counts as must).
+    Same single aggregation: clause-split counts are conditional sums
+    over the ``kind`` flag."""
     from pyspark.sql.window import Window
 
-    _check_bool_args(require_all, min_should_match)
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
     nq = analyze_neg_queries(queries)
+    mq = analyze_must_queries(queries)
     terms = _collect_terms(qterms)
-    if not terms:
-        return spark.createDataFrame([], schema=RESULT_SCHEMA)
     neg_terms = _collect_terms(nq) if nq is not None else []
+    must_terms = _collect_terms(mq) if mq is not None else []
+    if mq is not None and not must_terms:
+        mq = None    # must_qtext column present but all null
+    _check_bool_args(require_all, min_should_match, has_must=mq is not None)
+    if not terms and not must_terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
     if not neg_terms:
         nq = None
-    all_terms = sorted(set(terms) | set(neg_terms))
+    all_terms = sorted(set(terms) | set(neg_terms) | set(must_terms))
     seg = candidate_segments(spark, index_dir, all_terms)
     dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
 
@@ -402,7 +437,7 @@ def search_taat(
             pd.DataFrame({"docid": dead.astype(np.int64)}))
         decoded = decoded.join(F.broadcast(dead_df), "docid", "left_anti")
 
-    if nq is None:
+    if nq is None and mq is None:
         scored = (
             decoded.join(F.broadcast(qterms), "term")
             .groupBy("query_id", "docid")
@@ -410,31 +445,50 @@ def search_taat(
             .withColumn("score", F.aggregate(
                 "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
         )
+        if require_all:
+            # |matched terms| per (query, doc) vs |analyzed terms| per query
+            qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
+            scored = (scored.join(F.broadcast(qn), "query_id")
+                      .filter(F.size("cs") == F.col("qn")).drop("qn"))
+        elif min_should_match is not None:
+            scored = scored.filter(F.size("cs") >= F.lit(min_should_match))
     else:
-        # must_not in the SAME aggregation: the decoded stream joins the
-        # union of positive and excluded query terms; collect_list skips
-        # the nulled must_not structs (fold order over positive terms is
-        # unchanged) while max(is_neg) flags excluded (query, doc) pairs
-        qterms_all = qterms.withColumn("is_neg", F.lit(False)).unionByName(
-            nq.withColumn("is_neg", F.lit(True)))
+        # bool clauses in the SAME aggregation: the decoded stream joins
+        # the kind-flagged union of should/must/must_not query terms
+        # (0/1/2, max-deduped per (query, term) — _qterms_with_kinds);
+        # collect_list skips the nulled must_not structs, so the fold
+        # order over positive terms is unchanged; clause-split counts
+        # are conditional sums over the same rows — zero extra shuffles
+        qterms_all = _qterms_with_kinds(qterms, nq, mq)
         scored = (
             decoded.join(F.broadcast(qterms_all), "term")
             .groupBy("query_id", "docid")
             .agg(F.sort_array(F.collect_list(
-                    F.when(~F.col("is_neg"), F.struct("term", "contrib"))
+                    F.when(F.col("kind") < 2, F.struct("term", "contrib"))
                  )).alias("cs"),
-                 F.max("is_neg").alias("neg_hit"))
+                 F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("must_cnt"),
+                 F.max(F.col("kind") == 2).alias("neg_hit"))
             .filter(~F.col("neg_hit") & (F.size("cs") > 0)).drop("neg_hit")
             .withColumn("score", F.aggregate(
                 "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
         )
-    if require_all:
-        # |matched terms| per (query, doc) vs |analyzed terms| per query
-        qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-        scored = (scored.join(F.broadcast(qn), "query_id")
-                  .filter(F.size("cs") == F.col("qn")).drop("qn"))
-    elif min_should_match is not None:
-        scored = scored.filter(F.size("cs") >= F.lit(min_should_match))
+        if require_all:     # mq is None here (_check_bool_args)
+            qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
+            scored = (scored.join(F.broadcast(qn), "query_id")
+                      .filter(F.size("cs") == F.col("qn")).drop("qn"))
+        else:
+            if mq is not None:
+                # every analyzed must term (OOV included) has to match
+                qmn = mq.groupBy("query_id").agg(
+                    F.count("*").alias("qn_must"))
+                scored = (scored.join(F.broadcast(qmn), "query_id", "left")
+                          .filter(F.col("must_cnt")
+                                  == F.coalesce("qn_must", F.lit(0)))
+                          .drop("qn_must"))
+            if min_should_match is not None:
+                scored = scored.filter(
+                    F.size("cs") - F.col("must_cnt") >= F.lit(min_should_match))
+        scored = scored.drop("must_cnt")
     scored = scored.drop("cs")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
@@ -452,6 +506,8 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                     dfg: dict | None = None,
                     range_lo: int = 0, range_hi: int | None = None,
                     min_match: int | None = None,
+                    must_terms: frozenset | None = None,
+                    n_must: int = 0,
                     dead: np.ndarray | None = None) -> pd.DataFrame:
     """When (range_lo, range_hi) restrict the docid space, only docs in
     that range are scored (blocks outside are never decoded) — the
@@ -472,6 +528,17 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     entries for free (a doc appears in at most one covering block per
     term, so entries per doc = matched distinct terms).
 
+    ``must_terms``/``n_must`` (mixed ES bool, round 6): the query's
+    required clause as a term set — a doc scores only if it matches
+    ALL ``n_must`` analyzed must terms (n_must counts OOV must terms
+    too, so those empty the result); ``min_match`` then applies to the
+    SHOULD terms alone (the remaining positive terms; default None =
+    optional, exactly ES's minimum_should_match default when a must
+    clause is present). Scores still sum over every matched positive
+    term in sorted-term fold order. The same two skips split by
+    clause: an interval missing a must term, or covering fewer should
+    terms than min_match, can't contain a match.
+
     ``bool.must_not``: rows flagged ``is_neg`` (excluded-term posting
     rows joined into the group by the caller) contribute NO score and
     no interval upper bound; their blocks are decoded LAZILY — only in
@@ -489,8 +556,8 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
         range_hi = np.iinfo(np.int64).max
     qid = int(g["query_id"].iloc[0])
     gneg = None
-    if "is_neg" in g.columns:
-        neg_mask = g["is_neg"].astype(bool)
+    if "kind" in g.columns:
+        neg_mask = g["kind"].to_numpy() == 2
         gneg = g[neg_mask]
         g = g[~neg_mask]
         if len(g) == 0:
@@ -510,6 +577,12 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                    g["blocks"], g["postings"], src_it):
         term_rows.setdefault(row[0], []).append(row)
     terms = sorted(term_rows)  # frozen summation order §1.3.4
+    # must-clause term indexes; a must term with NO postings in this
+    # group leaves len(must_ti) < n_must and every interval skips —
+    # the OOV-must → empty contract falls out for free
+    must_ti = ({ti for ti, t in enumerate(terms) if t in must_terms}
+               if must_terms is not None else None)
+    track_ti = must_ti is not None or min_match is not None
 
     # block table: (start, end, ub, term_idx, payload_ref, offset).
     # Rows from a delta/base mix are ordered by (first_docid, chunk) —
@@ -585,16 +658,24 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     for iv in order:
         if len(heap) >= k and ubs[iv] < theta:
             break  # every remaining interval is strictly below the kth score
-        if min_match is not None and len(
-                {blocks[b][3] for b in cover[iv]} - {-1}) < min_match:
-            continue  # fewer positive terms cover the interval than must match
+        if track_ti:
+            cov = {blocks[b][3] for b in cover[iv]} - {-1}
+            if must_ti is not None:
+                # every must term has to cover the interval; should
+                # coverage has to reach the should minimum
+                if len(cov & must_ti) < n_must:
+                    continue
+                if min_match is not None and len(cov - must_ti) < min_match:
+                    continue
+            elif min_match is not None and len(cov) < min_match:
+                continue  # fewer positive terms cover the interval than must match
         lo_d = max(int(starts[iv]), range_lo)
         hi_d = min(int(ends[iv]), range_hi)
         if lo_d > hi_d:
             continue
         # gather contributions per term in sorted-term order; must_not
         # blocks (ti = -1, sorted first) only collect exclusion docids
-        per_term: list[tuple[np.ndarray, np.ndarray]] = []
+        per_term: list[tuple[np.ndarray, np.ndarray, int]] = []
         excl: list[np.ndarray] = []
         for bi in sorted(cover[iv], key=lambda b: blocks[b][3]):
             s, e, ub, ti, buf, off = blocks[bi]
@@ -612,7 +693,7 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
             d, c = decoded_cache[bi]
             sel = (d >= lo_d) & (d <= hi_d)
             if sel.any():
-                per_term.append((d[sel], c[sel]))
+                per_term.append((d[sel], c[sel], ti))
         if not per_term:
             continue
         alld = np.concatenate([p[0] for p in per_term])
@@ -620,7 +701,21 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
         uniq, inv = np.unique(alld, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, allc)  # adds in array order = sorted term order
-        if min_match is not None:
+        if must_ti is not None:
+            # entries per doc per term ≤ 1, so clause-split bincounts
+            # over the entry term-indexes count matched distinct terms
+            allti = np.concatenate([np.full(p[0].size, p[2], dtype=np.int64)
+                                    for p in per_term])
+            mmask = np.isin(allti, np.fromiter(must_ti, dtype=np.int64,
+                                               count=len(must_ti)))
+            keep = np.bincount(inv[mmask], minlength=uniq.size) == n_must
+            if min_match is not None:
+                keep &= (np.bincount(inv[~mmask], minlength=uniq.size)
+                         >= min_match)
+            uniq, scores = uniq[keep], scores[keep]
+            if uniq.size == 0:
+                continue
+        elif min_match is not None:
             # entries per doc = matched distinct terms (≤1 block/term/doc)
             keep = np.bincount(inv, minlength=uniq.size) >= min_match
             uniq, scores = uniq[keep], scores[keep]
@@ -666,6 +761,18 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     })
 
 
+def _mq_term_map(mq: DataFrame | None) -> dict[int, set] | None:
+    """Per-query analyzed must-term sets (driver-side, tiny — same
+    cardinality class as the query term lists already collected);
+    None when there is no must clause at all."""
+    if mq is None:
+        return None
+    out: dict[int, set] = {}
+    for r in mq.collect():
+        out.setdefault(int(r["query_id"]), set()).add(r["term"])
+    return out
+
+
 def _qn_map(qterms: DataFrame) -> dict[int, int]:
     """|distinct analyzed terms| per query — the conjunctive target
     count (OOV terms included, so a must-clause on a missing term
@@ -674,19 +781,23 @@ def _qn_map(qterms: DataFrame) -> dict[int, int]:
     return {int(r["query_id"]): int(r["qn"]) for r in rows}
 
 
-def _qterms_with_neg(qterms: DataFrame, nq: DataFrame | None
-                     ) -> tuple[DataFrame, list[str] | None]:
-    """Union positive and must_not (query_id, term) pairs with an
-    ``is_neg`` flag for the WAND group join; returns (joinable qterms,
-    neg term list or None when there are no exclusions)."""
-    if nq is None:
-        return qterms, None
-    neg_terms = _collect_terms(nq)
-    if not neg_terms:
-        return qterms, None
-    qall = qterms.withColumn("is_neg", F.lit(False)).unionByName(
-        nq.withColumn("is_neg", F.lit(True)))
-    return qall, neg_terms
+def _qterms_with_kinds(qterms: DataFrame, nq: DataFrame | None,
+                       mq: DataFrame | None) -> DataFrame:
+    """Union should/must/must_not (query_id, term) pairs into one
+    joinable frame with a ``kind`` flag (0=should, 1=must, 2=must_not),
+    deduplicated per (query, term) by max(kind): a term in both should
+    and must counts (and scores) once as must; a term that is also
+    excluded keeps only the exclusion — a must+must_not conflict then
+    empties the query via the must count, exactly ES. Returns qterms
+    unchanged (no kind column) when there are no bool clauses."""
+    if nq is None and mq is None:
+        return qterms
+    out = qterms.withColumn("kind", F.lit(0))
+    if mq is not None:
+        out = out.unionByName(mq.withColumn("kind", F.lit(1)))
+    if nq is not None:
+        out = out.unionByName(nq.withColumn("kind", F.lit(2)))
+    return out.groupBy("query_id", "term").agg(F.max("kind").alias("kind"))
 
 
 def search_wand(
@@ -704,23 +815,37 @@ def search_wand(
     mandatory-term interval skipping (see _wand_one_query) — the scale
     path for conjunctive queries; bit-identical to
     ``search_taat(require_all=True)`` (asserted in tests).
-    ``min_should_match`` and a ``neg_qtext`` column (bool.must_not)
+    ``min_should_match``, a ``neg_qtext`` column (bool.must_not), and a
+    ``must_qtext`` column (mixed bool.must + optional should clauses)
     carry the remaining ES bool semantics — see search_taat; all three
     paths are bit-identical (asserted in tests)."""
-    _check_bool_args(require_all, min_should_match)
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
+    nq = analyze_neg_queries(queries)
+    mq = analyze_must_queries(queries)
     terms = _collect_terms(qterms)
-    if not terms:
+    must_by_q = _mq_term_map(mq)
+    neg_terms = _collect_terms(nq) if nq is not None else []
+    must_terms = sorted({t for s in (must_by_q or {}).values() for t in s})
+    if must_by_q is not None and not must_terms:
+        must_by_q, mq = None, None    # must_qtext column present but all null
+    _check_bool_args(require_all, min_should_match, has_must=mq is not None)
+    if not terms and not must_terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
-    qterms_j, neg_terms = _qterms_with_neg(qterms, analyze_neg_queries(queries))
-    all_terms = sorted(set(terms) | set(neg_terms or []))
+    qterms_j = _qterms_with_kinds(qterms, nq if neg_terms else None, mq)
+    all_terms = sorted(set(terms) | set(neg_terms) | set(must_terms))
     seg = candidate_segments(spark, index_dir, all_terms)
     dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
     qn = _qn_map(qterms) if require_all else None
+
     seg_q = seg.join(F.broadcast(qterms_j), "term")
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        if must_by_q is not None:
+            mt = frozenset(must_by_q.get(int(key[0]), ()))
+            return _wand_one_query(g, n_docs, avgdl, k, dfg,
+                                   min_match=min_should_match,
+                                   must_terms=mt, n_must=len(mt), dead=dead)
         mm = qn[int(key[0])] if qn is not None else min_should_match
         return _wand_one_query(g, n_docs, avgdl, k, dfg,
                                min_match=mm, dead=dead)
@@ -785,14 +910,21 @@ def search_wand_ranges(
     """
     from pyspark.sql.window import Window
 
-    _check_bool_args(require_all, min_should_match)
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qterms = analyze_queries(queries)
+    nq = analyze_neg_queries(queries)
+    mq = analyze_must_queries(queries)
     terms = _collect_terms(qterms)
-    if not terms:
+    must_by_q = _mq_term_map(mq)
+    neg_terms = _collect_terms(nq) if nq is not None else []
+    must_terms = sorted({t for s in (must_by_q or {}).values() for t in s})
+    if must_by_q is not None and not must_terms:
+        must_by_q, mq = None, None    # must_qtext column present but all null
+    _check_bool_args(require_all, min_should_match, has_must=mq is not None)
+    if not terms and not must_terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
-    qterms_j, neg_terms = _qterms_with_neg(qterms, analyze_neg_queries(queries))
-    all_terms = sorted(set(terms) | set(neg_terms or []))
+    qterms_j = _qterms_with_kinds(qterms, nq if neg_terms else None, mq)
+    all_terms = sorted(set(terms) | set(neg_terms) | set(must_terms))
     seg = candidate_segments(spark, index_dir, all_terms)
     dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
     qn = _qn_map(qterms) if require_all else None
@@ -823,6 +955,13 @@ def search_wand_ranges(
                        & (F.col("first_docid") <= F.col("hi")))
 
     def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        if must_by_q is not None:
+            mt = frozenset(must_by_q.get(int(key[0]), ()))
+            return _wand_one_query(g, n_docs, avgdl, k, dfg,
+                                   range_lo=int(g["lo"].iloc[0]),
+                                   range_hi=int(g["hi"].iloc[0]),
+                                   min_match=min_should_match,
+                                   must_terms=mt, n_must=len(mt), dead=dead)
         mm = qn[int(key[0])] if qn is not None else min_should_match
         return _wand_one_query(g, n_docs, avgdl, k, dfg,
                                range_lo=int(g["lo"].iloc[0]),

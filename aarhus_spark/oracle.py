@@ -87,34 +87,51 @@ def build(rows: list[dict]) -> OracleIndex:
     return OracleIndex(n_docs=n, avgdl=avgdl, urls=urls, dls=dls, postings=postings)
 
 
-def search(index: OracleIndex, qtext: str, k: int = TOP_K,
+def search(index: OracleIndex, qtext: str | None, k: int = TOP_K,
            neg_qtext: str | None = None,
            min_should_match: int | None = None,
-           require_all: bool = False) -> list[tuple[int, int, float]]:
+           require_all: bool = False,
+           must_qtext: str | None = None) -> list[tuple[int, int, float]]:
     """BM25 top-k for one query -> [(rank, docid, score)], ordered by
     (score desc, docid asc); term sum in sorted term order.
 
     ES bool semantics (mirrors operators/search.py, independently):
-    ``require_all`` = bool.must — every analyzed term (OOV included)
-    must match; ``min_should_match=m`` — at least m distinct analyzed
-    terms must match, score over the matched ones; ``neg_qtext`` =
-    bool.must_not — docs matching ANY excluded term are dropped,
-    excluded terms never score."""
-    terms = sorted(set(tokenize(qtext)))
+    ``require_all`` = bool.must over every qtext term — every analyzed
+    term (OOV included) must match; ``min_should_match=m`` — at least
+    m distinct analyzed should terms must match, score over the
+    matched ones; ``neg_qtext`` = bool.must_not — docs matching ANY
+    excluded term are dropped, excluded terms never score;
+    ``must_qtext`` = mixed bool — its analyzed terms (OOV included)
+    must ALL match while qtext becomes the optional should clauses
+    (gated by min_should_match, default 0); a term in both clauses
+    counts once, as must."""
+    should = sorted(set(tokenize(qtext))) if qtext is not None else []
+    must = sorted(set(tokenize(must_qtext))) if must_qtext is not None else None
+    if must is not None:
+        should = [t for t in should if t not in must]
+    pos = sorted(set(should) | set(must or []))
     acc: dict[int, float] = {}
-    cnt: dict[int, int] = {}
-    for t in terms:  # sorted order fixes FP addition order (§1.3.4)
+    cnt_m: dict[int, int] = {}
+    cnt_s: dict[int, int] = {}
+    for t in pos:  # sorted order fixes FP addition order (§1.3.4)
         if t not in index.postings:
             continue
         docids, tfs = index.postings[t]
         w = _idf(index.df[t], index.n_docs)
         contrib = w * _partial(tfs, index.dls[docids], index.avgdl)
+        tgt = cnt_m if (must is not None and t in must) else cnt_s
         for d, c in zip(docids.tolist(), contrib.tolist()):
             acc[d] = acc.get(d, 0.0) + c
-            cnt[d] = cnt.get(d, 0) + 1
-    m = len(terms) if require_all else min_should_match
-    if m is not None:
-        acc = {d: s for d, s in acc.items() if cnt[d] >= m}
+            tgt[d] = tgt.get(d, 0) + 1
+    if must is not None:
+        acc = {d: s for d, s in acc.items() if cnt_m.get(d, 0) == len(must)}
+        if min_should_match is not None:
+            acc = {d: s for d, s in acc.items()
+                   if cnt_s.get(d, 0) >= min_should_match}
+    else:
+        m = len(should) if require_all else min_should_match
+        if m is not None:
+            acc = {d: s for d, s in acc.items() if cnt_s.get(d, 0) >= m}
     if neg_qtext is not None:
         excl: set[int] = set()
         for t in set(tokenize(neg_qtext)):

@@ -62,6 +62,10 @@ def main() -> None:
     ap.add_argument("--must-not", default=None, metavar="TEXT",
                     help="bool.must_not: exclude docs matching ANY analyzed "
                          "term of TEXT (applied to every query)")
+    ap.add_argument("--must", default=None, metavar="TEXT",
+                    help="mixed bool.must: docs must match EVERY analyzed "
+                         "term of TEXT while the query text becomes optional "
+                         "should clauses (applied to every query)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -80,6 +84,11 @@ def main() -> None:
         neg = (F.concat_ws(" ", "neg_qtext", F.lit(args.must_not))
                if "neg_qtext" in qdf.columns else F.lit(args.must_not))
         qdf = qdf.withColumn("neg_qtext", neg)
+    if args.must is not None:
+        from pyspark.sql import functions as F
+        must = (F.concat_ws(" ", "must_qtext", F.lit(args.must))
+                if "must_qtext" in qdf.columns else F.lit(args.must))
+        qdf = qdf.withColumn("must_qtext", must)
     bool_kw = dict(require_all=args.require_all,
                    min_should_match=args.min_should_match)
     if args.mode == "wand":

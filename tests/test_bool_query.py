@@ -164,3 +164,77 @@ def test_search_topk_routes_bool_args(spark, bidx):
                              min_should_match=2))
     expect = _oracle_rows(oidx, qs, min_should_match=2)
     assert one == many == expect
+
+
+# ---------------------------------------------------------------------------
+# round 6b: mixed bool — must_qtext + optional should clauses
+# ---------------------------------------------------------------------------
+
+QSCHEMA_M = "query_id long, qtext string, neg_qtext string, must_qtext string"
+
+
+def _oracle_rows_m(oidx, queries, **kw):
+    out = []
+    for qid, qtext, neg, must in queries:
+        out.extend((qid, r, d, s) for r, d, s in
+                   oracle.search(oidx, qtext, k=K, neg_qtext=neg,
+                                 must_qtext=must, **kw))
+    return sorted(out)
+
+
+def test_mixed_must_should_three_way_and_oracle(spark, bidx):
+    _, out, oidx = bidx
+    qs = [(0, "data query2", None, "spark0"),          # must + should
+          (1, None, None, "merge12 sort13"),           # must-only, null qtext
+          (2, "data", "web4", "index1"),               # must + should + neg
+          (3, "data query2", None, "zzzznotaterm")]    # OOV must -> empty
+    qdf = spark.createDataFrame(qs, QSCHEMA_M)
+    a, b, c = _all_paths(spark, out, qdf)
+    expect = _oracle_rows_m(oidx, qs)
+    assert a == b == c == expect
+    assert [r for r in a if r[0] == 3] == []            # OOV must empties
+    assert len([r for r in a if r[0] == 1]) > 0         # must-only returns
+    # must is load-bearing: every q0 result contains spark0, and the
+    # corpus has docs that match the should terms but not the must term
+    have = set(oidx.postings["spark0"][0].tolist())
+    assert all(r[2] in have for r in a if r[0] == 0)
+    some = set(oidx.postings["data"][0].tolist())
+    assert some - have, "need should-matching docs lacking the must term"
+
+
+def test_mixed_must_should_with_msm(spark, bidx):
+    """min_should_match gates the SHOULD clauses only when a must
+    clause is present (ES default msm=0 with must)."""
+    _, out, oidx = bidx
+    qs = [(0, "data query2 page3", None, "spark0")]
+    qdf = spark.createDataFrame(qs, QSCHEMA_M)
+    base, _, _ = _all_paths(spark, out, qdf)
+    for m in (1, 2, 3):
+        a, b, c = _all_paths(spark, out, qdf, min_should_match=m)
+        expect = _oracle_rows_m(oidx, qs, min_should_match=m)
+        assert a == b == c == expect, f"m={m}"
+    assert base == _oracle_rows_m(oidx, qs)
+
+
+def test_must_term_also_in_should_counts_once(spark, bidx):
+    """A term in both clauses scores once, as must — identical to
+    putting it in must alone."""
+    _, out, oidx = bidx
+    both = [(0, "spark0 data", None, "spark0")]
+    only = [(0, "data", None, "spark0")]
+    a1, b1, c1 = _all_paths(spark, out, spark.createDataFrame(both, QSCHEMA_M))
+    a2, _, _ = _all_paths(spark, out, spark.createDataFrame(only, QSCHEMA_M))
+    assert a1 == b1 == c1 == a2 == _oracle_rows_m(oidx, both)
+
+
+def test_must_conflicts_and_arg_validation(spark, bidx):
+    _, out, _ = bidx
+    # must + must_not on the same term: nothing can satisfy both
+    qdf = spark.createDataFrame([(0, "data", "spark0", "spark0")], QSCHEMA_M)
+    a, b, c = _all_paths(spark, out, qdf)
+    assert a == b == c == []
+    # require_all with a must_qtext column is ambiguous -> error
+    qdf2 = spark.createDataFrame([(0, "data", None, "spark0")], QSCHEMA_M)
+    for fn in (search_taat, search_wand, search_wand_ranges):
+        with pytest.raises(ValueError, match="must_qtext"):
+            fn(spark, out, qdf2, require_all=True)
