@@ -393,6 +393,56 @@ def decode_positions_at(payload: bytes | np.ndarray, pos_off: int,
     return _pos_undelta(pdeltas, tfs)
 
 
+def decode_blocks_keep_pos_flat(payload: bytes | np.ndarray,
+                                offsets: list[int] | np.ndarray
+                                ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                           np.ndarray, np.ndarray]:
+    """Decode every block's scoring streams but keep the position
+    sections as ONE verbatim byte buffer with per-posting byte lengths
+    — the (pbuf, plens) shape :func:`encode_blocks` re-blocks by pure
+    byte concatenation (``pos_encoded`` path). Unlike
+    :func:`decode_block_keep_pos` this materializes NO per-posting
+    Python bytes objects: per-value boundaries come from one vectorized
+    continuation-bit scan per block and the buffer is sliced
+    numpy-side. The merge path (build.py _make_merger): per-posting
+    position runs are independently concatenable (deltas reset at
+    posting starts), so a docid-preserving merge never needs to decode
+    or re-encode a position value.
+
+    Returns (docids, tfs, dls, pos_buf uint8, per_posting_byte_lens).
+    """
+    buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload
+    offs = [int(o) for o in offsets]
+    bounds = offs[1:] + [buf.size]
+    ds, ts, ls, pbs, pls = [], [], [], [], []
+    for off, end in zip(offs, bounds):
+        (n_arr, o) = vbyte_decode(buf, 1, off)
+        n = int(n_arr[0])
+        deltas, o = vbyte_decode(buf, n, o)
+        tfs, o = vbyte_decode(buf, n, o)
+        dls, o = vbyte_decode(buf, n, o)
+        tfs = tfs.astype(np.int64)
+        total = int(tfs.sum())
+        b = buf[o:end]
+        vends = np.flatnonzero((b & 0x80) == 0)
+        if vends.size < total:
+            raise ValueError("decode_blocks_keep_pos_flat: position stream truncated")
+        vends = vends[:total]
+        psum = np.cumsum(tfs)
+        pe = vends[psum - 1] + 1 if total else np.empty(0, np.int64)
+        ps = np.concatenate(([0], pe[:-1])) if total else np.empty(0, np.int64)
+        ds.append(np.cumsum(deltas.astype(np.int64)))
+        ts.append(tfs)
+        ls.append(dls.astype(np.int64))
+        pbs.append(b[:int(pe[-1])] if total else b[:0])
+        pls.append(pe - ps)
+    if not ds:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy(), np.empty(0, np.uint8), z.copy()
+    return (np.concatenate(ds), np.concatenate(ts), np.concatenate(ls),
+            np.concatenate(pbs), np.concatenate(pls))
+
+
 def decode_all_blocks_positions(payload: bytes | np.ndarray, offsets: list[int] | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode every block of a v4 blocked run with positions."""
     buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(payload, (bytes, bytearray)) else payload

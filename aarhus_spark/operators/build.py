@@ -56,8 +56,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codec import (decode_all_blocks_positions, encode_blocks,
-                     encode_pos_chunks, permute_poslists)
+from ..codec import (decode_all_blocks_positions, decode_blocks_keep_pos_flat,
+                     encode_blocks, encode_pos_chunks, permute_poslists)
 from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
                       MAX_POSTINGS_PER_ROW, SALTS)
 from ..textops import extract_series, tokenize_series
@@ -653,25 +653,58 @@ def _make_merger(avgdl: float, max_postings_per_row: int):
                 "first_docid": int(r["first_docid"]), "blocks": r["blocks"],
                 "postings": r["postings"],
             }])
-        # k-way merge: fragments are docid-range-disjoint (range salting)
+        # k-way merge: fragments are docid-range-disjoint (range
+        # salting), so the salt-ordered concatenation is ALREADY
+        # docid-sorted, and the merge never needs to touch a position
+        # VALUE — per-posting position byte runs are independently
+        # concatenable (deltas reset at posting starts), so they pass
+        # through verbatim (decode_blocks_keep_pos_flat → the
+        # encode_blocks pos_encoded path). Round 6: this replaced a
+        # full position decode + re-encode (O(Σtf) VByte work per head
+        # term, the dominant and worst-scaling share of the merge
+        # stage) with O(n-postings) scoring-stream decode + byte
+        # concat; the docid argsort on already-sorted data is gone too.
         g = g.sort_values("salt")
-        parts = [decode_all_blocks_positions(p, [b["offset"] for b in blocks])
+        parts = [decode_blocks_keep_pos_flat(p, [b["offset"] for b in blocks])
                  for p, blocks in zip(g["postings"], g["blocks"])]
         docids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
-        flat_pos = np.concatenate([p[3] for p in parts])
-        order = np.argsort(docids, kind="stable")
-        flat_pos = permute_poslists(flat_pos, tfs, order)
-        docids, tfs, dls = docids[order], tfs[order], dls[order]
+        if docids.size > 1 and not bool(np.all(docids[1:] > docids[:-1])):
+            # defensive fallback (never expected under range salting):
+            # overlapping ranges need the full re-sort + re-encode
+            fparts = [decode_all_blocks_positions(p, [b["offset"] for b in blocks])
+                      for p, blocks in zip(g["postings"], g["blocks"])]
+            flat_pos = np.concatenate([p[3] for p in fparts])
+            order = np.argsort(docids, kind="stable")
+            flat_pos = permute_poslists(flat_pos, tfs, order)
+            docids, tfs, dls = docids[order], tfs[order], dls[order]
+            psum = np.concatenate(([0], np.cumsum(tfs)))
+            df_total, cf_total = int(docids.size), int(tfs.sum())
+            rows = []
+            for ci, s in enumerate(range(0, df_total, max_postings_per_row)):
+                e = min(s + max_postings_per_row, df_total)
+                payload, blocks = encode_blocks(
+                    docids[s:e], tfs[s:e], dls[s:e], avgdl, BLOCK_SIZE,
+                    positions=flat_pos[int(psum[s]):int(psum[e])])
+                rows.append({
+                    "term": term, "df": df_total, "cf": cf_total, "chunk": ci,
+                    "n": e - s,
+                    "first_docid": int(docids[s]),
+                    "blocks": [{"last_docid": b[0], "max_partial": b[1], "offset": b[2]} for b in blocks],
+                    "postings": payload,
+                })
+            return pd.DataFrame(rows)
+        pbuf = np.concatenate([p[3] for p in parts])
+        plens = np.concatenate([p[4] for p in parts])
+        boff = np.concatenate(([0], np.cumsum(plens)))
         df_total, cf_total = int(docids.size), int(tfs.sum())
-        psum = np.concatenate(([0], np.cumsum(tfs)))
         rows = []
         for ci, s in enumerate(range(0, df_total, max_postings_per_row)):
             e = min(s + max_postings_per_row, df_total)
             payload, blocks = encode_blocks(
                 docids[s:e], tfs[s:e], dls[s:e], avgdl, BLOCK_SIZE,
-                positions=flat_pos[int(psum[s]):int(psum[e])])
+                pos_encoded=(pbuf[int(boff[s]):int(boff[e])], plens[s:e]))
             rows.append({
                 "term": term, "df": df_total, "cf": cf_total, "chunk": ci,
                 "n": e - s,
