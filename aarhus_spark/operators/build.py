@@ -894,7 +894,16 @@ def encode_merge_finalize(
     if len(done) < n_buckets:
         summary = (
             salted.repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", "term", "docid")
+            # xxhash64(term) ahead of the string: the external sort's
+            # row comparator decides almost every cross-term comparison
+            # on the 8-byte hash instead of scanning term bytes; equal
+            # terms (and the ~0 true collisions) fall through to the
+            # string tiebreak, so equal-term runs stay contiguous and
+            # within-term order is still docid (salt stays monotone) —
+            # the encoder's run detection is unchanged. Fragment row
+            # ORDER within a bucket changes (hash order), which nothing
+            # downstream depends on (per-term grouping / filters only).
+            .sortWithinPartitions("bucket", F.xxhash64("term"), "term", "docid")
             .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests,
                                                 head_terms, n_docs, salts, docid_offset,
                                                 committer=committer),
