@@ -23,4 +23,4 @@ Layout
 - ``streaming``  windowed aggregation ops (batch analogs X1-X3)
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

@@ -430,6 +430,15 @@ def decode_blocks_keep_pos_flat(payload: bytes | np.ndarray,
         vends = vends[:total]
         psum = np.cumsum(tfs)
         pe = vends[psum - 1] + 1 if total else np.empty(0, np.int64)
+        # end-exactness (mirrors decode_positions_at): the position
+        # stream must END at the block boundary — a trailing gap means
+        # the offsets don't describe this payload, and passing the bytes
+        # verbatim into a merged index would embed the misalignment
+        if (int(pe[-1]) if total else 0) != b.size:
+            raise ValueError(
+                f"decode_blocks_keep_pos_flat: position stream ended at byte "
+                f"{int(pe[-1]) if total else 0} of {b.size} in block — "
+                f"payload/offset mismatch (v3-style payload?)")
         ps = np.concatenate(([0], pe[:-1])) if total else np.empty(0, np.int64)
         ds.append(np.cumsum(deltas.astype(np.int64)))
         ts.append(tfs)

@@ -65,4 +65,11 @@ TOMBSTONE_BUDGET: int = int(_os.environ.get("AARHUS_TOMBSTONE_BUDGET", 2_000_000
 #       to v3 and the position stream sits after them, so BM25 scoring
 #       never touches it — but a v3 reader would mis-serve a v4 dir's
 #       tail/segment split assumptions, hence the version bump.
-FORMAT_VERSION: int = 4
+#   5 = v0.5 fragment rows gain a stored xxhash64(term) column
+#       (``thash``): rows are written in thash order (the shuffle's
+#       8-byte sort comparator), so row-group min/max pruning for
+#       tail-term lookups moves from term (now hash-scattered) to
+#       thash. Posting payload bytes are UNCHANGED from v4; a v4
+#       reader would merely lose tail pruning, but the version gate
+#       keeps reader and writer honest about the physical layout.
+FORMAT_VERSION: int = 5

@@ -60,6 +60,7 @@ from ..codec import (decode_all_blocks_positions, decode_blocks_keep_pos_flat,
                      encode_blocks, encode_pos_chunks, permute_poslists)
 from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
                       MAX_POSTINGS_PER_ROW, SALTS)
+from ..hashing import xxhash64 as spark_xxhash64
 from ..textops import extract_series, tokenize_series
 
 TOKENS_SCHEMA = "docid long, term string, tf long, dl long"
@@ -74,6 +75,7 @@ POSTING_SCHEMA = "docid long, term string, tf long, dl long, posb binary"
 # pyarrow schema for task-side fragment parquet writes (the
 # per-bucket checkpoint unit; see _make_fragment_encoder)
 import pyarrow as pa  # noqa: E402
+import pyarrow.compute as pc  # noqa: E402
 import pyarrow.parquet as pq  # noqa: E402
 
 _BLOCKS_PA = pa.list_(pa.struct([
@@ -83,6 +85,12 @@ _BLOCKS_PA = pa.list_(pa.struct([
 ]))
 FRAG_PA_SCHEMA = pa.schema([
     ("term", pa.string()),
+    # xxhash64(term), seed 42 — fragment rows are written in thash
+    # order (the shuffle sort key), so row-group min/max stats on THIS
+    # column stay tight while term's are hash-scattered; tail lookups
+    # push `thash IN (...)` (hashing.xxhash64 = Spark's fn, pinned by
+    # test) alongside the exact term filter
+    ("thash", pa.int64()),
     ("salt", pa.int32()),
     ("is_head", pa.bool_()),
     ("n", pa.int64()),
@@ -97,6 +105,7 @@ FRAGMENT_SUMMARY_SCHEMA = "bucket int, rows long, postings long, wall_s double"
 # Spark-typed mirror of FRAG_PA_SCHEMA (for the empty-corpus fallback)
 FRAG_PA_SCHEMA_SPARK = [
     T.StructField("term", T.StringType()),
+    T.StructField("thash", T.LongType()),
     T.StructField("salt", T.IntegerType()),
     T.StructField("is_head", T.BooleanType()),
     T.StructField("n", T.LongType()),
@@ -367,25 +376,28 @@ def _salt_of(terms: pd.Series, docids: pd.Series, head_set: frozenset,
                     0).astype(np.int32), is_head
 
 
-def tokenize_postings(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One Arrow batch of (docid, text, ...) -> per-posting rows
-    (docid, term, tf, dl, posb), format v4.
+def _tokenize_batch_core(docids: pd.Series, texts: pd.Series):
+    """One batch of (docid, text) -> per-posting COLUMNS, format v4.
 
     Vectorized: explode -> per-doc cumcount (positions) -> ONE lexsort
     by (docid, term-code) keeping position order stable -> run-length
     tf -> ONE VByte pass over all position deltas
-    (codec.encode_pos_chunks). The only per-posting Python is the
-    byte-slice loop materializing posb bytes objects for Arrow (a
-    memoryview slice each - far below the explode+groupby cost)."""
-    toks = tokenize_series(pdf["text"])
-    ex = pd.DataFrame({"docid": pdf["docid"]}).assign(term=toks)
+    (codec.encode_pos_chunks). Terms stay DICTIONARY-coded (one Python
+    string per unique, int codes per posting) and positions stay ONE
+    contiguous uint8 buffer with per-posting byte lengths — nothing
+    per-posting is a Python object (the round-6 scaling measurement
+    attributed the fragments-stage 1->4 loss to ~45M small `bytes`
+    allocations per 1M-page build; BENCH/BASELINE.md "next mitigation").
+
+    Returns ``(docid, codes, uniques, tf, dl, pos_buf, pos_lens)`` as
+    numpy arrays (uniques: object ndarray of unique term strings), or
+    ``None`` for an effectively-empty batch.
+    """
+    toks = tokenize_series(texts)
+    ex = pd.DataFrame({"docid": docids}).assign(term=toks)
     ex = ex.explode("term", ignore_index=True).dropna(subset=["term"])
     if len(ex) == 0:
-        return pd.DataFrame({"docid": pd.Series([], dtype="int64"),
-                             "term": pd.Series([], dtype="object"),
-                             "tf": pd.Series([], dtype="int64"),
-                             "dl": pd.Series([], dtype="int64"),
-                             "posb": pd.Series([], dtype="object")})
+        return None
     grp = ex.groupby("docid", sort=False)
     pos = grp.cumcount().to_numpy(np.int64)
     dl_occ = grp["term"].transform("size").to_numpy(np.int64)
@@ -403,16 +415,47 @@ def tokenize_postings(pdf: pd.DataFrame) -> pd.DataFrame:
     ends = np.concatenate((starts[1:], [docid_occ.size]))
     tfs = ends - starts
     buf, plens = encode_pos_chunks(pos, tfs)
+    return (docid_occ[starts], term_codes[starts],
+            np.asarray(term_uniques, dtype=object), tfs, dl_occ[starts],
+            buf, plens)
+
+
+def tokenize_postings(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pandas materialization of :func:`_tokenize_batch_core` — one row
+    per posting with ``posb`` bytes objects. Kept for direct callers and
+    tests; the build pipeline itself uses the Arrow path
+    (:func:`tokenize_salt_bucket`), which never materializes per-posting
+    Python objects."""
+    core = _tokenize_batch_core(pdf["docid"], pdf["text"])
+    if core is None:
+        return pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "tf": pd.Series([], dtype="int64"),
+                             "dl": pd.Series([], dtype="int64"),
+                             "posb": pd.Series([], dtype="object")})
+    docid, codes, uniques, tfs, dl, buf, plens = core
     boff = np.concatenate(([0], np.cumsum(plens)))
     mv = memoryview(buf.tobytes())
     posb = [bytes(mv[int(boff[i]):int(boff[i + 1])]) for i in range(tfs.size)]
     return pd.DataFrame({
-        "docid": docid_occ[starts],
-        "term": term_uniques.take(term_codes[starts]),
-        "tf": tfs,
-        "dl": dl_occ[starts],
+        "docid": docid, "term": uniques[codes], "tf": tfs, "dl": dl,
         "posb": posb,
     })
+
+
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _binary_from_buffer(buf: np.ndarray, lens: np.ndarray) -> pa.Array:
+    """Arrow binary array over ONE contiguous uint8 buffer + per-value
+    byte lengths — zero-copy for the data buffer, no per-value Python."""
+    offs = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if offs[-1] > np.iinfo(np.int32).max:  # pragma: no cover — ~2 GiB/batch
+        raise ValueError("position payload per batch exceeds int32 offsets")
+    return pa.Array.from_buffers(
+        pa.binary(), lens.size,
+        [None, pa.py_buffer(offs.astype(np.int32)), pa.py_buffer(buf)])
 
 
 def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
@@ -425,30 +468,57 @@ def tokenize_salt_bucket(docs: DataFrame, head_terms: list[str], n_docs: int,
     payload; every later stage concatenates those bytes, never
     re-encoding a value (codec.encode_blocks pos_encoded path).
 
-    salt/is_head/bucket are all derived vectorized inside the batch
-    (``pd.util.hash_array`` - C siphash with a fixed key, deterministic
-    across processes, which the per-bucket resume relies on), so the
-    token stream needs NO broadcast join and carries only one extra
-    int32 through the big shuffle. The encoder recomputes salt/is_head
-    from the same closure inputs.
+    ``mapInArrow``, not ``mapInPandas``: the output RecordBatch is
+    assembled column-at-a-time from the core's numpy arrays — ``term``
+    via a C-side take over the batch's unique strings, ``posb`` via
+    :func:`_binary_from_buffer` over the single contiguous position
+    buffer. A pandas round-trip here would materialize one Python
+    ``bytes`` + one ``str`` PER POSTING (~45M objects per 1M pages),
+    which round 6 measured as the dominant 1->4 scaling loss
+    (BENCH/BASELINE.md).
+
+    salt/is_head/bucket are all derived vectorized per UNIQUE term then
+    gathered by code (``pd.util.hash_array`` - C siphash with a fixed
+    key, deterministic across processes, which the per-bucket resume
+    relies on — hashing per-unique yields bit-identical buckets to the
+    old per-posting hash), so the token stream needs NO broadcast join
+    and carries only one extra int32 through the big shuffle. The
+    encoder recomputes salt/is_head from the same closure inputs.
     """
     head_set = frozenset(head_terms)
 
-    def tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def tok(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            tf = tokenize_postings(pdf)
-            if len(tf) == 0:
+            sch = rb.schema
+            docid_s = rb.column(sch.get_field_index("docid")).to_pandas()
+            text_s = rb.column(sch.get_field_index("text")).to_pandas()
+            core = _tokenize_batch_core(docid_s, text_s)
+            if core is None:
                 continue
-            salt, _ = _salt_of(tf["term"], tf["docid"], head_set,
-                               n_docs, salts, docid_offset)
-            th = pd.util.hash_array(tf["term"].to_numpy(object))
-            tf["bucket"] = ((th ^ (salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-                            % np.uint64(n_buckets)).astype(np.int32)
-            yield tf
+            docid, codes, uniques, tfs, dl, buf, plens = core
+            # per-UNIQUE head/hash, gathered per posting by code
+            uniq_head = np.fromiter((u in head_set for u in uniques),
+                                    np.bool_, count=uniques.size)
+            uniq_hash = pd.util.hash_array(uniques)
+            is_head = uniq_head[codes]
+            rel = docid - docid_offset
+            salt = np.where(is_head,
+                            np.minimum(salts - 1, rel * salts // max(n_docs, 1)),
+                            0).astype(np.int32)
+            bucket = ((uniq_hash[codes]
+                       ^ (salt.astype(np.uint64) * _SALT_MIX))
+                      % np.uint64(n_buckets)).astype(np.int32)
+            term = pc.take(pa.array(uniques, type=pa.string()),
+                           pa.array(codes, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(docid), term, pa.array(tfs), pa.array(dl),
+                 _binary_from_buffer(buf, plens), pa.array(bucket)],
+                names=["docid", "term", "tf", "dl", "posb", "bucket"])
 
-    return docs.mapInPandas(tok, schema=POSTING_SCHEMA + ", bucket int")
+    return docs.select("docid", "text").mapInArrow(
+        tok, schema=POSTING_SCHEMA + ", bucket int")
 
 
 # ---------------------------------------------------------------------------
@@ -459,7 +529,10 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
                            head_terms: list[str], n_docs: int, salts: int,
                            docid_offset: int,
                            committer: FragmentCommitter | None = None):
-    """mapInPandas fn over partitions sorted by (term, docid).
+    """mapInArrow fn over partitions sorted by
+    (bucket, xxhash64(term), term, docid) — equal-term runs contiguous,
+    term ORDER within a bucket is hash-scattered (the external sort's
+    comparator win; encode_merge_finalize documents the tradeoff).
 
     Encodes one blocked-VByte fragment per (term, salt) run — carrying
     the trailing group across Arrow batch boundaries — and writes the
@@ -467,7 +540,16 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
     completed bucket survives a mid-job kill: this is the per-partition
     checkpoint unit of BASELINE.json's resumability requirement, unlike
     a job-level parquet commit which discards everything on failure.
-    Yields a single summary row per bucket (S6 metrics)."""
+    Yields a single summary row per bucket (S6 metrics).
+
+    Arrow path (round 7): term strings are dictionary-decoded C-side
+    (one Python string per RUN, not per posting) and the ``posb``
+    column is consumed as its underlying contiguous (offsets, data)
+    buffers — a run's position section is ONE numpy slice, fed straight
+    to ``encode_blocks(pos_encoded=...)``. The previous pandas path
+    materialized per-posting ``bytes`` + ``str`` objects and re-joined
+    them (``b"".join`` + per-posting ``len()``) — measured as the
+    fragments stage's dominant 1->4 scaling loss (BENCH/BASELINE.md)."""
 
     class _BucketSink:
         """One open parquet writer + manifest per bucket; a partition may
@@ -549,31 +631,33 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
     head_set = frozenset(head_terms)
     _commit = committer or PosixRenameCommitter()
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # trailing (term, salt) run awaiting continuation in the next
+        # batch: numeric numpy arrays + ONE term string + one pos buffer
+        carry: dict | None = None
         sink: _BucketSink | None = None
         summaries: list[dict] = []
 
         def flush_run(bucket: int, term: str, salt: int, is_head: bool,
                       docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                      posb) -> None:
+                      pbuf: np.ndarray, plens: np.ndarray) -> None:
             """One (term, salt) run of per-posting rows sorted by docid;
-            ``posb`` holds each posting's pre-encoded position bytes —
-            assembled into block position sections by concatenation
-            (codec pos_encoded path), zero re-encoding."""
+            ``pbuf``/``plens`` hold the run's pre-encoded position bytes
+            as ONE contiguous uint8 buffer + per-posting byte lengths —
+            assembled into block position sections by slicing (codec
+            pos_encoded path), zero re-encoding, zero per-posting
+            Python objects."""
             nonlocal sink
             if sink is None or sink.bucket != bucket:
                 if sink is not None:
                     summaries.append(sink.close())
                 sink = _BucketSink(bucket)
-            pbuf = np.frombuffer(b"".join(posb), dtype=np.uint8)
-            plens = np.fromiter((len(x) for x in posb), dtype=np.int64,
-                                count=len(posb))
             payload, blocks = encode_blocks(docids, tfs, dls, avgdl, BLOCK_SIZE,
                                             pos_encoded=(pbuf, plens))
             sink.rows_in += int(tfs.sum())
             sink.add({
                 "term": term,
+                "thash": spark_xxhash64(term),
                 "salt": salt,
                 "is_head": is_head,
                 "n": int(docids.size),
@@ -583,57 +667,107 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
                 "postings": payload,
             })
 
-        def consume(pdf: pd.DataFrame, final: bool) -> None:
+        def flush_carry() -> None:
             nonlocal carry
-            if len(pdf) and "salt" not in pdf.columns:
-                # salt/is_head recomputed from the same closure inputs the
-                # tokenizer used (they are not shuffled — one int32 less)
-                salt, is_head = _salt_of(pdf["term"], pdf["docid"], head_set,
-                                         n_docs, salts, docid_offset)
-                pdf = pdf.assign(salt=salt, is_head=is_head)
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True) if len(pdf) else carry
+                flush_run(carry["bucket"], carry["term"], carry["salt"],
+                          carry["is_head"], carry["docid"], carry["tf"],
+                          carry["dl"], carry["pbuf"], carry["plens"])
                 carry = None
-            if len(pdf) == 0:
-                return
-            # The stream is sorted by (bucket, term, docid) and salt is
-            # MONOTONE in docid within a term (range salting), so every
-            # (term, salt) group is one contiguous run: detect run
-            # boundaries vectorized instead of hash-grouping each Arrow
-            # batch (pandas groupby + string keys measured ~75 ms per
-            # 64 Ki batch; this is ~2 ms).
-            term_arr = pdf["term"].to_numpy(object)
-            salt_arr = pdf["salt"].to_numpy()
-            if len(pdf) > 1:
-                change = (term_arr[1:] != term_arr[:-1]) | (salt_arr[1:] != salt_arr[:-1])
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            sch = rb.schema
+            # terms dictionary-encoded C-side: int codes per posting,
+            # ONE Python string per unique-in-batch (materialized only
+            # at run boundaries below)
+            enc = rb.column(sch.get_field_index("term")).dictionary_encode()
+            codes = enc.indices.to_numpy()
+            uniques = enc.dictionary.to_pylist()
+            docid = rb.column(sch.get_field_index("docid")).to_numpy()
+            tf = rb.column(sch.get_field_index("tf")).to_numpy()
+            dl = rb.column(sch.get_field_index("dl")).to_numpy()
+            bucket_a = rb.column(sch.get_field_index("bucket")).to_numpy()
+            posb = rb.column(sch.get_field_index("posb"))
+            # the binary column's raw Arrow (offsets, data) buffers:
+            # a run's position section is data[offs[s]:offs[e]]
+            off_dt = np.int64 if pa.types.is_large_binary(posb.type) else np.int32
+            poffs = np.frombuffer(posb.buffers()[1], dtype=off_dt)[
+                posb.offset: posb.offset + len(posb) + 1].astype(np.int64)
+            pdata = np.frombuffer(posb.buffers()[2], dtype=np.uint8)
+            # salt/is_head recomputed per UNIQUE term from the same
+            # closure inputs the tokenizer used (they are not shuffled —
+            # one int32 less through the big exchange)
+            uniq_head = np.fromiter((u in head_set for u in uniques),
+                                    np.bool_, count=len(uniques))
+            is_head_a = uniq_head[codes]
+            salt_a = np.where(
+                is_head_a,
+                np.minimum(salts - 1,
+                           (docid - docid_offset) * salts // max(n_docs, 1)),
+                0).astype(np.int32)
+            # The stream is sorted with equal-term runs contiguous and
+            # salt MONOTONE in docid within a term (range salting), so
+            # every (term, salt) group is one contiguous run: detect
+            # run boundaries on the int dictionary codes (the pandas
+            # path compared object strings; this is a pure int compare).
+            n = rb.num_rows
+            if n > 1:
+                change = (codes[1:] != codes[:-1]) | (salt_a[1:] != salt_a[:-1])
                 starts = np.concatenate(([0], np.flatnonzero(change) + 1))
             else:
                 starts = np.zeros(1, dtype=np.int64)
-            ends = np.concatenate((starts[1:], [len(pdf)]))
-            if not final:
-                # hold back the trailing run — it may continue next batch
-                carry = pdf.iloc[int(starts[-1]):]
-                starts, ends = starts[:-1], ends[:-1]
-                if starts.size == 0:
-                    return
-            bucket_arr = pdf["bucket"].to_numpy()
-            head_arr = pdf["is_head"].to_numpy()
-            docid_arr = pdf["docid"].to_numpy(np.int64)
-            tf_arr = pdf["tf"].to_numpy(np.int64)
-            dl_arr = pdf["dl"].to_numpy(np.int64)
-            posb_arr = pdf["posb"].to_numpy(object)
-            for s, e in zip(starts.tolist(), ends.tolist()):
-                flush_run(int(bucket_arr[s]), term_arr[s], int(salt_arr[s]),
-                          bool(head_arr[s]), docid_arr[s:e], tf_arr[s:e],
-                          dl_arr[s:e], posb_arr[s:e])
+            ends = np.concatenate((starts[1:], [n]))
+            s0 = int(starts[0])
+            if carry is not None and not (carry["term"] == uniques[codes[s0]]
+                                          and carry["salt"] == int(salt_a[s0])
+                                          and carry["bucket"] == int(bucket_a[s0])):
+                flush_carry()
+            # all runs but the trailing one are complete — flush them,
+            # prepending the carried prefix to the first if it matched
+            for i in range(starts.size - 1):
+                s, e = int(starts[i]), int(ends[i])
+                d_, t_, l_ = docid[s:e], tf[s:e], dl[s:e]
+                pb = pdata[poffs[s]:poffs[e]]
+                pl = np.diff(poffs[s:e + 1])
+                if carry is not None:       # only possible when i == 0
+                    d_ = np.concatenate((carry["docid"], d_))
+                    t_ = np.concatenate((carry["tf"], t_))
+                    l_ = np.concatenate((carry["dl"], l_))
+                    pb = np.concatenate((carry["pbuf"], pb))
+                    pl = np.concatenate((carry["plens"], pl))
+                    carry = None
+                flush_run(int(bucket_a[s]), uniques[codes[s]], int(salt_a[s]),
+                          bool(is_head_a[s]), d_, t_, l_, pb, pl)
+            # the trailing run may continue in the next batch: hold it
+            # back (copies detach it from the Arrow batch's lifetime)
+            s, e = int(starts[-1]), int(ends[-1])
+            run = {"bucket": int(bucket_a[s]), "term": uniques[codes[s]],
+                   "salt": int(salt_a[s]), "is_head": bool(is_head_a[s]),
+                   "docid": docid[s:e].copy(), "tf": tf[s:e].copy(),
+                   "dl": dl[s:e].copy(),
+                   "pbuf": pdata[poffs[s]:poffs[e]].copy(),
+                   "plens": np.diff(poffs[s:e + 1])}
+            if carry is not None:   # whole batch was one continuing run
+                run = {**run, "term": carry["term"],
+                       "docid": np.concatenate((carry["docid"], run["docid"])),
+                       "tf": np.concatenate((carry["tf"], run["tf"])),
+                       "dl": np.concatenate((carry["dl"], run["dl"])),
+                       "pbuf": np.concatenate((carry["pbuf"], run["pbuf"])),
+                       "plens": np.concatenate((carry["plens"], run["plens"]))}
+            carry = run
 
-        for pdf in batches:
-            consume(pdf, final=False)
-        consume(pd.DataFrame(), final=True)
+        flush_carry()
         if sink is not None:
             summaries.append(sink.close())
         if summaries:
-            yield pd.DataFrame(summaries)[["bucket", "rows", "postings", "wall_s"]]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([m["bucket"] for m in summaries], pa.int32()),
+                 pa.array([m["rows"] for m in summaries], pa.int64()),
+                 pa.array([m["postings"] for m in summaries], pa.int64()),
+                 pa.array([m["wall_s"] for m in summaries], pa.float64())],
+                names=["bucket", "rows", "postings", "wall_s"])
 
     return encode
 
@@ -901,13 +1035,17 @@ def encode_merge_finalize(
             # string tiebreak, so equal-term runs stay contiguous and
             # within-term order is still docid (salt stays monotone) —
             # the encoder's run detection is unchanged. Fragment row
-            # ORDER within a bucket changes (hash order), which nothing
-            # downstream depends on (per-term grouping / filters only).
+            # ORDER within a bucket changes (hash order) — tradeoff:
+            # within-bucket parquet row groups no longer have tight
+            # term min/max stats, so tail-term lookups in
+            # candidate_segments can't prune row groups on the term
+            # column; they prune on the stored thash column instead
+            # (same hash function, sorted order — see FRAG_PA_SCHEMA).
             .sortWithinPartitions("bucket", F.xxhash64("term"), "term", "docid")
-            .mapInPandas(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests,
-                                                head_terms, n_docs, salts, docid_offset,
-                                                committer=committer),
-                         schema=FRAGMENT_SUMMARY_SCHEMA)
+            .mapInArrow(_make_fragment_encoder(avgdl, paths.fragments, paths.manifests,
+                                               head_terms, n_docs, salts, docid_offset,
+                                               committer=committer),
+                        schema=FRAGMENT_SUMMARY_SCHEMA)
         ).collect()  # tiny: one row per bucket; forces execution
     else:
         summary = []

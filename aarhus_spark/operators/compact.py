@@ -251,8 +251,12 @@ def compact_indexes(
     union_dl = _union_doclens(spark, dirs)
     dead_df = None
     if dead.size:
+        # Arrow path (one numpy→Arrow column), not a python list of
+        # tuples — bounded by TOMBSTONE_BUDGET but needlessly
+        # driver-heavy near the ceiling otherwise (same fix as
+        # incremental.py mask path)
         dead_df = spark.createDataFrame(
-            [(int(x),) for x in dead], "dead_docid long")
+            pd.DataFrame({"dead_docid": dead.astype(np.int64)}))
         union_dl = union_dl.join(
             F.broadcast(dead_df),
             union_dl["old_docid"] == dead_df["dead_docid"],

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..codec import decode_block, decode_block_ext, decode_positions_at
 from ..config import FORMAT_VERSION, TOP_K
+from ..hashing import xxhash64 as spark_xxhash64
 from ..scoring import idf as _idf
 from ..textops import tokenize_series
 from .build import IndexPaths
@@ -270,9 +271,19 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
         # tail existence cached in stats.json at build time — no per-query
         # directory listing (an object-store LIST per query per dir)
         if st.get("has_tail", os.path.isdir(frag_dir) and bool(os.listdir(frag_dir))):
-            tail = (spark.read.parquet(frag_dir)
-                    .filter(F.col("term").isin(terms)
-                            & ~F.col("is_head") & (F.col("n") <= maxpost))
+            # fragment rows are written in xxhash64(term) order (the
+            # shuffle sort key), so row-group min/max stats are tight on
+            # thash, NOT on term — push the equivalent hash predicate
+            # (driver-side hashing.xxhash64 ≡ Spark's xxhash64, pinned
+            # by test) so tail lookups still skip row groups; the exact
+            # term filter stays for hash-collision correctness
+            tail = spark.read.parquet(frag_dir)
+            tfilter = (F.col("term").isin(terms)
+                       & ~F.col("is_head") & (F.col("n") <= maxpost))
+            if "thash" in tail.columns:
+                tfilter = F.col("thash").isin(
+                    [spark_xxhash64(t) for t in terms]) & tfilter
+            tail = (tail.filter(tfilter)
                     .select("term", F.col("n").alias("df"), "cf",
                             F.lit(0).alias("chunk"), "n", "first_docid",
                             "blocks", "postings"))

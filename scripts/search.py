@@ -70,6 +70,24 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    # flag/mode compatibility: refuse combinations whose semantics the
+    # chosen mode does not implement, instead of silently ignoring them
+    if args.mode == "phrase":
+        bad = [n for n, v in [("--require-all", args.require_all),
+                              ("--min-should-match", args.min_should_match),
+                              ("--must-not", args.must_not),
+                              ("--must", args.must)] if v]
+        if bad:
+            ap.error(f"{', '.join(bad)} only apply to wand/taat modes, "
+                     f"not --mode phrase (phrase matching is already "
+                     f"conjunctive and positional)")
+    else:
+        if args.score_mode != "bm25":
+            ap.error("--score-mode proximity only applies to --mode phrase "
+                     "(wand/taat score pure BM25)")
+        if args.slop:
+            ap.error("--slop only applies to --mode phrase")
+
     from aarhus_spark.operators.search import (
         search_phrase, search_taat, search_topk, search_wand,
         search_wand_ranges)
