@@ -1110,6 +1110,279 @@ SELECT 'except' AS op, nk FROM
 
 
 # ---------------------------------------------------------------------------
+# Q11 multi-field / multi_match + Q12 prefix queries (round 7)
+# ---------------------------------------------------------------------------
+
+# the harness title field: first 40 chars of the text — deterministic,
+# expressible identically in Spark (substring) and DuckDB (substr), and
+# a strict-subset vocabulary so best_fields vs most_fields genuinely
+# diverge (title matches boost docs whose hits sit up front)
+TITLE_BOOST = 2.0
+
+
+def _ensure_multifield_index(spark: SparkSession, sf_dir: str) -> str:
+    """text + title field indexes over a shared docid space (built once
+    per sf_dir per build-config per process)."""
+    from .operators.multifield import (MULTIFIELD_MANIFEST,
+                                       build_field_indexes)
+    out = _index_dir_for(sf_dir) + "_mf"
+    key = "mf:" + _build_config_tag() + ":" + sf_dir
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    if not os.path.exists(os.path.join(out, MULTIFIELD_MANIFEST)):
+        pages = pages_from_documents(spark, sf_dir)
+        build_field_indexes(spark, pages, out, fields={
+            "text": F.col("text"),
+            "title": F.substring(F.col("text"), 1, 40)})
+    _INDEX_CACHE[key] = out
+    return out
+
+
+def q_bm25_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 Q11: ES multi_match over (text, title^2) — BOTH
+    combination modes in one driver entry: best_fields (dis-max) and
+    most_fields (sum), each fully ranked against the DuckDB twin."""
+    from .operators.multifield import search_multi_match
+    idx = _ensure_multifield_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    out = None
+    for mode in ("best_fields", "most_fields"):
+        # engine k=20 → rounded top-10: the same boundary slack every
+        # bm25 entry uses (rounding must not reorder across >10 ranks)
+        r = _rerank_rounded(search_multi_match(
+            spark, idx, qdf, k=20, boosts={"title": TITLE_BOOST}, mode=mode))
+        r = r.select(F.lit(mode).alias("mode"), "*")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _field_scored_ctes(tag: str, text_expr: str,
+                       boost: float = 1.0) -> str:
+    """Per-field BM25 CTE block over the SHARED ``ids`` corpus (docid
+    space fixed by the canonical text field): N counts ALL corpus docs
+    and avgdl averages coalesce(dl, 0) — matching the engine, which
+    indexes empty fields as dl=0 placeholder docs."""
+    return f"""
+tok_{tag} AS (
+  SELECT docid, unnest(regexp_extract_all(lower({text_expr}), '{TOKEN_SQL_RE}')) AS term
+  FROM ids
+), tok2_{tag} AS (
+  SELECT docid, term FROM tok_{tag} WHERE length(term) <= 64
+), tf_{tag} AS (
+  SELECT docid, term, CAST(count(*) AS BIGINT) AS tf FROM tok2_{tag} GROUP BY docid, term
+), dl_{tag} AS (
+  SELECT docid, CAST(sum(tf) AS BIGINT) AS dl FROM tf_{tag} GROUP BY docid
+), stats_{tag} AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n,
+         (SELECT avg(coalesce(d.dl, 0) * 1.0)
+          FROM ids i LEFT JOIN dl_{tag} d USING (docid)) AS avgdl
+), dfs_{tag} AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_{tag} GROUP BY term
+), scored_{tag} AS (
+  SELECT q.query_id, tf.docid,
+         {boost!r} * sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf_{tag} tf
+  JOIN qterms q USING (term)
+  JOIN dfs_{tag} d USING (term)
+  JOIN dl_{tag} dl USING (docid)
+  CROSS JOIN stats_{tag} s
+  GROUP BY q.query_id, tf.docid
+)"""
+
+
+def _multi_match_oracle_sql(k: int = 10) -> str:
+    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in FLAGSHIP_QUERIES)
+    return f"""
+WITH pages AS (
+  SELECT concat('https://testdata.local/', source, '/', CAST(doc_id AS VARCHAR)) AS url,
+         text, lang FROM documents
+), en AS (
+  SELECT url, text FROM pages WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 0
+), ids AS (
+  SELECT row_number() OVER (ORDER BY url) - 1 AS docid, url, text FROM en
+), qraw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+  FROM (VALUES {vals}) AS q(query_id, qtext)
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '{TOKEN_SQL_RE}')) AS term
+    FROM qraw) z WHERE length(term) <= 64
+),{_field_scored_ctes("text", "text")},{_field_scored_ctes("title", "substr(text, 1, 40)", TITLE_BOOST)},
+comb AS (
+  SELECT query_id, docid,
+         coalesce(a.score, 0) + coalesce(b.score, 0) AS total,
+         greatest(coalesce(a.score, 0), coalesce(b.score, 0)) AS best
+  FROM scored_text a FULL OUTER JOIN scored_title b USING (query_id, docid)
+), ranked AS (
+  SELECT 'best_fields' AS mode, query_id, docid, round(best, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(best, 6) DESC, docid) AS BIGINT) AS rank
+  FROM comb
+  UNION ALL
+  SELECT 'most_fields', query_id, docid, round(total, 6),
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(total, 6) DESC, docid) AS BIGINT)
+  FROM comb
+)
+SELECT mode, query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# prefixes chosen against the synthetic vocabulary: 's' expands to 6
+# terms (scan slow small sort spark stream), 'qu' to 1, 'b' to 2 —
+# the multi-term expansions exercise the disjunctive rewrite
+PREFIX_QUERIES = [(0, "s"), (1, "qu"), (2, "b")]
+# fuzzy terms (ES `word~2`): 'vale'~2 → {value, table}, 'stram'~2 →
+# {stream}, 'joim'~2 → {join} (+ any ≤2-edit vocab neighbours — the
+# oracle recomputes the expansion independently via levenshtein)
+FUZZY_QUERIES = [(0, "vale"), (1, "stram"), (2, "joim")]
+FUZZY_EDITS = 2
+PREFIX_CAP = 1024
+
+
+def q_bm25_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 Q12+Q13 folded: prefix (`pre*`) and fuzzy (`word~2`)
+    term queries — dictionary expansion (range scan for prefixes,
+    Levenshtein scan for fuzzy), then the standard engine path scores
+    each expanded disjunction (ES query_string, rewrite=
+    scoring_boolean); both kinds fully ranked vs the DuckDB twin."""
+    from .operators.search import search_fuzzy, search_prefix
+    idx = _ensure_index(spark, sf_dir)
+    pq_ = spark.createDataFrame(PREFIX_QUERIES, "query_id long, prefix string")
+    fq = spark.createDataFrame(FUZZY_QUERIES, "query_id long, fterm string")
+    pre = _rerank_rounded(search_prefix(spark, idx, pq_, k=20,
+                                        cap=PREFIX_CAP)).select(
+        F.lit("prefix").alias("kind"), "*")
+    fuz = _rerank_rounded(search_fuzzy(spark, idx, fq, k=20,
+                                       max_edits=FUZZY_EDITS,
+                                       cap=PREFIX_CAP)).select(
+        F.lit("fuzzy").alias("kind"), "*")
+    return pre.unionByName(fuz)
+
+
+def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
+    pvals = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    fvals = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    scored_tmpl = """
+, scored_{tag} AS (
+  SELECT q.query_id, tf.docid,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms_{tag} q USING (term)
+  JOIN dfs d USING (term)
+  JOIN dl USING (docid)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.docid
+)"""
+    return f"""{_CORPUS_CTES_DUCK}
+, qpfx AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, pfx
+  FROM (VALUES {pvals}) AS q(query_id, pfx)
+), qterms_pre AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id
+                ORDER BY d.df DESC, d.term) AS rn
+    FROM qpfx p JOIN dfs d ON d.term LIKE p.pfx || '%') z
+  WHERE rn <= {PREFIX_CAP}
+), qfz AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, ft
+  FROM (VALUES {fvals}) AS q(query_id, ft)
+), qterms_fuz AS (
+  SELECT query_id, term FROM (
+    SELECT f.query_id, d.term,
+           row_number() OVER (PARTITION BY f.query_id
+                ORDER BY d.df DESC, d.term) AS rn
+    FROM qfz f JOIN dfs d ON levenshtein(d.term, f.ft) <= {FUZZY_EDITS}) z
+  WHERE rn <= {PREFIX_CAP}
+){scored_tmpl.format(tag="pre", k1=K1, b=B)}{scored_tmpl.format(tag="fuz", k1=K1, b=B)},
+ranked AS (
+  SELECT 'prefix' AS kind, query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM scored_pre
+  UNION ALL
+  SELECT 'fuzzy', query_id, docid, round(score, 6),
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT)
+  FROM scored_fuz
+)
+SELECT kind, query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-7 registry folds (hold the 50-entry cap while adding Q11/Q12):
+# J1+J2 and W2+W3 each collapse into one entry whose result carries
+# BOTH constituent operators' values — still fully oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_join_bcast_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2 folded: the broadcast-hash join (hinted small dim) and the
+    large-large SMJ/SHJ, tagged and unioned — both aggregates fully
+    value-checked; physical-plan shapes asserted in tests/test_plans."""
+    bc = (q_join_broadcast(spark, sf_dir)
+          .select(F.lit("bcast").alias("src"),
+                  F.col("c_mktsegment").alias("grp"),
+                  "revenue", F.col("n_orders").alias("n")))
+    sm = (q_join_sortmerge(spark, sf_dir)
+          .select(F.lit("smj").alias("src"),
+                  F.col("o_orderstatus").alias("grp"),
+                  "revenue", F.col("n_lines").alias("n")))
+    return bc.unionByName(sm)
+
+
+SQL_JOIN_BCAST_SMJ = """
+SELECT 'bcast' AS src, c_mktsegment AS grp,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'smj', o_orderstatus,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2),
+       CAST(count(*) AS BIGINT)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_window_rank_runsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W3 folded: rank and frame-spec running sum over the same
+    partitioning in one result (top-3 rows per customer, each carrying
+    its running total at that point)."""
+    from pyspark.sql.window import Window as W
+    wr = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                            F.asc("o_orderkey"))
+    ws = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .withColumn("running_total", F.round(F.sum("o_totalprice").over(ws), 2))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"), "running_total")
+    )
+
+
+SQL_WINDOW_RANK_RUNSUM = """
+SELECT o_custkey, rnk, o_orderkey, round(o_totalprice, 2) AS price, running_total
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+      FROM orders) z
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
 
@@ -1126,17 +1399,17 @@ QUERIES: dict[str, callable] = {
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_bool": q_bm25_bool,
+    "bm25_multi_match": q_bm25_multi_match,
+    "bm25_prefix_fuzzy": q_bm25_prefix_fuzzy,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
-    "join_broadcast": q_join_broadcast,
-    "join_sortmerge": q_join_sortmerge,
+    "join_bcast_smj": q_join_bcast_smj,
     "join_semi_anti": q_join_semi_anti,
     "join_theta": q_join_theta,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_quantiles": q_agg_quantiles,
     "agg_cube": q_agg_cube,
-    "window_rank": q_window_rank,
-    "window_running_sum": q_window_running_sum,
+    "window_rank_runsum": q_window_rank_runsum,
     "window_ntile_lag": q_window_ntile_lag,
     "topk_global": q_topk_global,
     "set_ops": q_set_ops,
@@ -1161,17 +1434,17 @@ ORACLES: dict[str, str] = {
         min_should_match=BOOL_MSM,
         neg_queries=[(q, n) for q, t, n, _ in BOOL_HARNESS_QUERIES],
         must_queries=[(q, m) for q, t, n, m in BOOL_HARNESS_QUERIES]),
+    "bm25_multi_match": _multi_match_oracle_sql(),
+    "bm25_prefix_fuzzy": _prefix_fuzzy_oracle_sql(),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
-    "join_broadcast": SQL_JOIN_BROADCAST,
-    "join_sortmerge": SQL_JOIN_SORTMERGE,
+    "join_bcast_smj": SQL_JOIN_BCAST_SMJ,
     "join_semi_anti": SQL_JOIN_SEMI_ANTI,
     "join_theta": SQL_JOIN_THETA,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "agg_quantiles": SQL_AGG_QUANTILES,
     "agg_cube": SQL_AGG_CUBE,
-    "window_rank": SQL_WINDOW_RANK,
-    "window_running_sum": SQL_WINDOW_RUNNING_SUM,
+    "window_rank_runsum": SQL_WINDOW_RANK_RUNSUM,
     "window_ntile_lag": SQL_WINDOW_NTILE_LAG,
     "topk_global": SQL_TOPK_GLOBAL,
     "set_ops": SQL_SET_OPS,

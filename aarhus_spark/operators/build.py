@@ -1078,8 +1078,14 @@ def encode_merge_finalize(
     # --- T3 dictionary: derived from fragment METADATA (|fragment| rows,
     #     pure JVM) — no second aggregation over the raw token stream ---
     t0 = time.time()
+    # term-SORTED: prefix/wildcard queries range-scan the dictionary
+    # (term >= p AND term < p⊕1, search.expand_prefix_terms) and the
+    # sort gives every row group tight term min/max stats. One extra
+    # exchange+sort on |vocabulary| rows — negligible next to the
+    # posting stages at any corpus size.
     (frags.groupBy("term")
         .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+        .sort("term")
         .write.mode("overwrite").parquet(paths.dictionary))
     n_terms = spark.read.parquet(paths.dictionary).count()
     stage("dictionary", t0, n_terms=n_terms)

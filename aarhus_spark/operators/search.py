@@ -1386,3 +1386,122 @@ def search_phrase(
     return (cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "docid", "score"))
+
+
+# ---------------------------------------------------------------------------
+# Q12: prefix (wildcard `pre*`) term queries — ES query_string prefix
+# ---------------------------------------------------------------------------
+
+MAX_PREFIX_EXPANSIONS = 1024
+
+
+def _prefix_hi(prefix: str) -> str:
+    """Exclusive upper bound of the prefix's term range: bump the last
+    char (terms are [a-z0-9]+, so +1 of the last code point is safe)."""
+    return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+def expand_prefix_terms(spark: SparkSession, index_dir, prefix: str,
+                        cap: int = MAX_PREFIX_EXPANSIONS) -> list[str]:
+    """Dictionary range scan ``term >= p AND term < p⊕1`` (pushed to the
+    parquet scan; the dictionary is written term-SORTED so row-group
+    min/max stats prune everything outside the range) → matching terms,
+    capped at ``cap`` by df desc / term asc — the deterministic analog
+    of ES's rewrite cap (``indices.query.bool.max_clause_count``).
+    Multi-dir chains sum df across dirs before the cap."""
+    p = prefix.strip().lower()
+    if not p or not all("a" <= c <= "z" or "0" <= c <= "9" for c in p):
+        raise ValueError(f"prefix must be a non-empty [a-z0-9]+ string, "
+                         f"got {prefix!r}")
+    dirs = _as_dirs(index_dir)
+    rng = (F.col("term") >= p) & (F.col("term") < _prefix_hi(p))
+    dic = None
+    for d in dirs:
+        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+                 .select("term", "df").filter(rng))
+        dic = piece if dic is None else dic.unionByName(piece)
+    rows = (dic.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(cap)).collect())
+    return sorted(r["term"] for r in rows)
+
+
+def search_prefix(spark: SparkSession, index_dir, queries: DataFrame,
+                  k: int = TOP_K, cap: int = MAX_PREFIX_EXPANSIONS,
+                  n_ranges: int | None = None) -> DataFrame:
+    """BM25 top-k for prefix queries: each row of ``queries`` is
+    (query_id, prefix); the prefix expands against the term dictionary
+    (range pushdown, df-capped) and the expanded disjunction runs
+    through the standard engine path (``search_topk`` — WAND pruning,
+    chunk-parallel above the fan-out threshold).
+
+    Scoring is ES ``rewrite=scoring_boolean``: expanded terms score as
+    a normal BM25 disjunction (each with its own idf). ES's default
+    ``constant_score`` rewrite is a deliberate non-goal — it discards
+    ranking information and its "score" is just the boost; the
+    scoring rewrite is the one with verifiable semantics.
+
+    Driver-side work is one tiny dictionary-range job per distinct
+    prefix (queries per call are human-scale); everything heavy stays
+    in the engine path."""
+    qrows = queries.select("query_id", "prefix").collect()
+    expanded = [(int(r["query_id"]),
+                 " ".join(expand_prefix_terms(spark, index_dir,
+                                              r["prefix"], cap)))
+                for r in qrows]
+    qdf = spark.createDataFrame(expanded, "query_id long, qtext string")
+    return search_topk(spark, index_dir, qdf, k=k, n_ranges=n_ranges)
+
+
+# ---------------------------------------------------------------------------
+# Q13: fuzzy term queries (ES query_string `word~N`)
+# ---------------------------------------------------------------------------
+
+def expand_fuzzy_terms(spark: SparkSession, index_dir, term: str,
+                       max_edits: int = 2,
+                       cap: int = MAX_PREFIX_EXPANSIONS) -> list[str]:
+    """Dictionary scan for terms within ``max_edits`` Levenshtein
+    distance of ``term`` (distance 0 = the term itself included, as in
+    Lucene). The distance filter is the JVM built-in ``levenshtein`` —
+    a full |vocabulary| scan like Lucene's FST automaton walk, over the
+    engine's smallest table; capped by df desc / term asc like the
+    prefix rewrite."""
+    t = term.strip().lower()
+    if not t or not all("a" <= c <= "z" or "0" <= c <= "9" for c in t):
+        raise ValueError(f"fuzzy term must be a non-empty [a-z0-9]+ string, "
+                         f"got {term!r}")
+    if max_edits not in (0, 1, 2):
+        raise ValueError("max_edits must be 0, 1 or 2 (ES fuzziness)")
+    dirs = _as_dirs(index_dir)
+    dic = None
+    for d in dirs:
+        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+                 .select("term", "df")
+                 # cheap length pre-filter IS pushable; levenshtein isn't
+                 .filter((F.length("term") >= len(t) - max_edits)
+                         & (F.length("term") <= len(t) + max_edits))
+                 .filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_edits))
+        dic = piece if dic is None else dic.unionByName(piece)
+    rows = (dic.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(cap)).collect())
+    return sorted(r["term"] for r in rows)
+
+
+def search_fuzzy(spark: SparkSession, index_dir, queries: DataFrame,
+                 k: int = TOP_K, max_edits: int = 2,
+                 cap: int = MAX_PREFIX_EXPANSIONS,
+                 n_ranges: int | None = None) -> DataFrame:
+    """BM25 top-k for single-term fuzzy queries: each row of
+    ``queries`` is (query_id, fterm); the term expands against the
+    dictionary within ``max_edits`` and the expansion scores as a
+    normal BM25 disjunction through the standard engine path
+    (rewrite=scoring_boolean — same declared choice as
+    :func:`search_prefix`)."""
+    qrows = queries.select("query_id", "fterm").collect()
+    expanded = [(int(r["query_id"]),
+                 " ".join(expand_fuzzy_terms(spark, index_dir, r["fterm"],
+                                             max_edits, cap)))
+                for r in qrows]
+    qdf = spark.createDataFrame(expanded, "query_id long, qtext string")
+    return search_topk(spark, index_dir, qdf, k=k, n_ranges=n_ranges)

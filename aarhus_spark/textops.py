@@ -83,3 +83,36 @@ def tokenize_series(text_col: pd.Series) -> pd.Series:
     """Vectorized T: Series[str] -> Series[list[str]]."""
     toks = text_col.fillna("").str.lower().str.findall(_TOKEN_RE)
     return toks.map(lambda ts: [t for t in ts if len(t) <= MAX_TOKEN_LEN])
+
+
+# ---------------------------------------------------------------------------
+# Title field extraction (multi-field indexing, operators/multifield.py):
+# first <title> element's inner text, unescaped, whitespace-collapsed —
+# the web-page analog of aarhus's email `subject` field [PK].
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_title(html_bytes: bytes | None) -> str:
+    """E_title(html): inner text of the first <title> element ('' when
+    absent) — unescape + whitespace-collapse, same post-processing as
+    E(html)."""
+    if html_bytes is None:
+        return ""
+    s = html_bytes.decode("utf-8", errors="replace")
+    m = _TITLE_RE.search(s)
+    if m is None:
+        return ""
+    t = _htmllib.unescape(m.group(1))
+    return _WS_RE.sub(" ", t).strip()
+
+
+def extract_title_series(html_col: pd.Series) -> pd.Series:
+    """Vectorized E_title over a Series of bytes/None (behaviorally
+    identical to the scalar form — property-asserted in tests)."""
+    s = html_col.map(lambda b: b.decode("utf-8", errors="replace")
+                     if b is not None else "")
+    t = s.str.extract(_TITLE_RE, expand=False).fillna("")
+    t = t.map(_htmllib.unescape)
+    return t.str.replace(_WS_RE, " ", regex=True).str.strip()

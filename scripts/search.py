@@ -36,11 +36,16 @@ def main() -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges",
-                                       "wand-single", "phrase"],
+                                       "wand-single", "phrase", "prefix",
+                                       "multi-match"],
                     default="wand",
                     help="wand = default dispatcher (chunk-parallel, fan-out "
                          "auto-sized from index stats); wand-ranges forces the "
-                         "chunk-parallel path; wand-single forces one group/query")
+                         "chunk-parallel path; wand-single forces one group/query; "
+                         "prefix treats each qtext as a `pre*` wildcard "
+                         "(dictionary-expanded, scoring_boolean rewrite); "
+                         "multi-match searches a multi-field index root "
+                         "(see --fields/--combine)")
     ap.add_argument("--ranges", type=int, default=None,
                     help="override the docid-range fan-out (default: from stats)")
     ap.add_argument("--slop", type=int, default=0,
@@ -66,27 +71,38 @@ def main() -> None:
                     help="mixed bool.must: docs must match EVERY analyzed "
                          "term of TEXT while the query text becomes optional "
                          "should clauses (applied to every query)")
+    ap.add_argument("--fields", default=None,
+                    help="multi-match: comma list with optional ^boost, e.g. "
+                         "'text,title^2' (default: every field in the index "
+                         "root's manifest, boost 1)")
+    ap.add_argument("--combine", choices=["best_fields", "most_fields"],
+                    default="best_fields",
+                    help="multi-match combination mode (ES multi_match type)")
+    ap.add_argument("--tie-breaker", type=float, default=0.0,
+                    help="multi-match best_fields: blend factor for the "
+                         "non-best fields' scores (ES dis_max tie_breaker)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     # flag/mode compatibility: refuse combinations whose semantics the
     # chosen mode does not implement, instead of silently ignoring them
-    if args.mode == "phrase":
+    if args.mode in ("phrase", "prefix", "multi-match"):
         bad = [n for n, v in [("--require-all", args.require_all),
                               ("--min-should-match", args.min_should_match),
                               ("--must-not", args.must_not),
                               ("--must", args.must)] if v]
         if bad:
             ap.error(f"{', '.join(bad)} only apply to wand/taat modes, "
-                     f"not --mode phrase (phrase matching is already "
-                     f"conjunctive and positional)")
-    else:
+                     f"not --mode {args.mode}")
+    if args.mode != "phrase":
         if args.score_mode != "bm25":
             ap.error("--score-mode proximity only applies to --mode phrase "
-                     "(wand/taat score pure BM25)")
+                     "(other modes score pure BM25)")
         if args.slop:
             ap.error("--slop only applies to --mode phrase")
+    if args.mode != "multi-match" and (args.fields or args.tie_breaker):
+        ap.error("--fields/--tie-breaker only apply to --mode multi-match")
 
     from aarhus_spark.operators.search import (
         search_phrase, search_taat, search_topk, search_wand,
@@ -120,6 +136,27 @@ def main() -> None:
     elif args.mode == "phrase":
         res = search_phrase(spark, index, qdf, k=args.k, n_ranges=args.ranges,
                             slop=args.slop, score_mode=args.score_mode)
+    elif args.mode == "prefix":
+        from pyspark.sql import functions as F
+        from aarhus_spark.operators.search import search_prefix
+        res = search_prefix(spark, index,
+                            qdf.select("query_id",
+                                       F.col("qtext").alias("prefix")),
+                            k=args.k, n_ranges=args.ranges)
+    elif args.mode == "multi-match":
+        from aarhus_spark.operators.multifield import search_multi_match
+        fields, boosts = None, {}
+        if args.fields:
+            fields = []
+            for spec in args.fields.split(","):
+                name, _, boost = spec.partition("^")
+                fields.append(name)
+                if boost:
+                    boosts[name] = float(boost)
+        res = search_multi_match(spark, args.index, qdf, k=args.k,
+                                 fields=fields, boosts=boosts,
+                                 mode=args.combine,
+                                 tie_breaker=args.tie_breaker)
     else:
         res = search_taat(spark, index, qdf, k=args.k, **bool_kw)
     if args.out:
