@@ -45,6 +45,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..codec import decode_block, decode_block_ext, decode_positions_at
 from ..config import FORMAT_VERSION, TOP_K
@@ -243,6 +244,70 @@ def _check_bool_args(require_all: bool, min_should_match: int | None,
         raise ValueError(f"min_should_match must be >= 1, got {min_should_match}")
 
 
+def _check_score_mode(score_mode: str) -> None:
+    if score_mode not in ("bm25", "proximity"):
+        raise ValueError(f"score_mode must be 'bm25' or 'proximity', "
+                         f"got {score_mode!r}")
+
+
+def _min_window_flat(pos: np.ndarray, labels: np.ndarray) -> int:
+    """Width (max − min) of the smallest position window containing at
+    least one position of EVERY distinct label — the classic k-sorted-
+    lists minimum-cover, two-pointer over the position-sorted stream.
+    0 when only one distinct label is present. Both proximity paths
+    (WAND per-candidate, TAAT per-row UDF) funnel here, so the integer
+    width — and therefore the adjusted score — is trivially identical."""
+    uniq = np.unique(labels)
+    if uniq.size <= 1:
+        return 0
+    order = np.argsort(pos, kind="stable")
+    p = pos[order]
+    t = np.searchsorted(uniq, labels[order])   # labels -> dense 0..m-1
+    need = uniq.size
+    count = np.zeros(need, dtype=np.int64)
+    have = 0
+    best = np.iinfo(np.int64).max
+    lo = 0
+    for hi in range(p.size):
+        c = t[hi]
+        count[c] += 1
+        if count[c] == 1:
+            have += 1
+        while have == need:
+            w = int(p[hi]) - int(p[lo])
+            if w < best:
+                best = w
+            c2 = t[lo]
+            count[c2] -= 1
+            if count[c2] == 0:
+                have -= 1
+            lo += 1
+    return best
+
+
+def _min_window(pos_lists: list[np.ndarray]) -> int:
+    """Min-cover width over per-term position lists (one list per
+    distinct matched term)."""
+    if len(pos_lists) <= 1:
+        return 0
+    pos = np.concatenate(pos_lists)
+    labels = np.concatenate([np.full(a.size, i, dtype=np.int64)
+                             for i, a in enumerate(pos_lists)])
+    return _min_window_flat(pos, labels)
+
+
+@F.pandas_udf(LongType())
+def _width_of_entries(cs: pd.Series) -> pd.Series:
+    """Per-row min-cover width over the collected (term, contrib, pos)
+    struct array of search_taat's proximity mode — one position list
+    per matched positive term (terms are unique per (query, doc))."""
+    out = np.zeros(len(cs), dtype=np.int64)
+    for i, entries in enumerate(cs):
+        out[i] = _min_window([np.asarray(e["pos"], dtype=np.int64)
+                              for e in entries])
+    return pd.Series(out)
+
+
 # ---------------------------------------------------------------------------
 # Q3: candidate segment rows with term pushdown
 # ---------------------------------------------------------------------------
@@ -364,8 +429,18 @@ def search_taat(
     k: int = TOP_K,
     require_all: bool = False,
     min_should_match: int | None = None,
+    score_mode: str = "bm25",
 ) -> DataFrame:
     """Distributed top-k. Returns (query_id, rank, docid, score).
+
+    ``score_mode="proximity"`` (opt-in, round 7): multiply each doc's
+    BM25 sum by 1/(1 + min_window_width) over the positions of its
+    matched positive terms (contract in :func:`_wand_one_query`). The
+    decode pass additionally carries each (term, doc) posting's
+    position list; the width is computed per (query, doc) from the
+    same collected struct array the fold already aggregates — no extra
+    shuffle — and funnels through the same ``_min_window_flat`` as the
+    WAND path, so the two stay bit-identical (asserted in tests).
 
     ``require_all=True`` is conjunctive (ES ``bool.must``) semantics:
     a document scores only if it matches EVERY analyzed query term —
@@ -402,6 +477,8 @@ def search_taat(
     from pyspark.sql.window import Window
 
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
+    _check_score_mode(score_mode)
+    prox = score_mode == "proximity"
     qterms = analyze_queries(queries)
     nq = analyze_neg_queries(queries)
     mq = analyze_must_queries(queries)
@@ -426,20 +503,41 @@ def search_taat(
             # zip — no pandas row materialization
             for term, payload, blks in zip(pdf["term"], pdf["postings"], pdf["blocks"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)
-                parts = [decode_block(buf, int(b["offset"])) for b in blks]
+                if prox:
+                    # proximity mode also carries each posting's
+                    # position list through the aggregation
+                    parts, pos_parts = [], []
+                    for bi, b in enumerate(blks):
+                        blk_end = (int(blks[bi + 1]["offset"])
+                                   if bi + 1 < len(blks) else buf.size)
+                        d, tf, dl, pos_off = decode_block_ext(buf, int(b["offset"]))
+                        pos_parts.append(decode_positions_at(
+                            buf, pos_off, tf, end=blk_end))
+                        parts.append((d, tf, dl))
+                else:
+                    parts = [decode_block(buf, int(b["offset"])) for b in blks]
                 if not parts:
                     continue
                 docids = np.concatenate([p[0] for p in parts])
                 w = _idf(float(dfg[term]), n_docs)
                 # exact: partial recomputed from (tf, dl) with the
                 # COMBINED avgdl — stored block bounds are not used here
-                contrib = w * _partial(np.concatenate([p[1] for p in parts]),
+                tfs = np.concatenate([p[1] for p in parts])
+                contrib = w * _partial(tfs,
                                        np.concatenate([p[2] for p in parts]), avgdl)
-                yield pd.DataFrame({"term": term, "docid": docids,
-                                    "contrib": contrib})
+                if prox:
+                    pos = np.concatenate(pos_parts).astype(np.int64)
+                    yield pd.DataFrame({
+                        "term": term, "docid": docids, "contrib": contrib,
+                        "pos": np.split(pos, np.cumsum(tfs)[:-1])})
+                else:
+                    yield pd.DataFrame({"term": term, "docid": docids,
+                                        "contrib": contrib})
 
+    dec_schema = ("term string, docid long, contrib double, pos array<long>"
+                  if prox else "term string, docid long, contrib double")
     decoded = seg.select("term", "blocks", "postings").mapInPandas(
-        decode, schema="term string, docid long, contrib double")
+        decode, schema=dec_schema)
     if dead.size:
         # Arrow path, not a Python list of tuples: the dead set is
         # budget-bounded at TOMBSTONE_BUDGET (2M) and a row-by-row
@@ -448,11 +546,16 @@ def search_taat(
             pd.DataFrame({"docid": dead.astype(np.int64)}))
         decoded = decoded.join(F.broadcast(dead_df), "docid", "left_anti")
 
+    # proximity mode rides the SAME aggregation: the struct gains the
+    # pos array as a trailing field (sort_array still orders by the
+    # unique term prefix, so the fold order is unchanged)
+    entry = (F.struct("term", "contrib", "pos") if prox
+             else F.struct("term", "contrib"))
     if nq is None and mq is None:
         scored = (
             decoded.join(F.broadcast(qterms), "term")
             .groupBy("query_id", "docid")
-            .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("cs"))
+            .agg(F.sort_array(F.collect_list(entry)).alias("cs"))
             .withColumn("score", F.aggregate(
                 "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
         )
@@ -475,7 +578,7 @@ def search_taat(
             decoded.join(F.broadcast(qterms_all), "term")
             .groupBy("query_id", "docid")
             .agg(F.sort_array(F.collect_list(
-                    F.when(F.col("kind") < 2, F.struct("term", "contrib"))
+                    F.when(F.col("kind") < 2, entry)
                  )).alias("cs"),
                  F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("must_cnt"),
                  F.max(F.col("kind") == 2).alias("neg_hit"))
@@ -500,6 +603,13 @@ def search_taat(
                 scored = scored.filter(
                     F.size("cs") - F.col("must_cnt") >= F.lit(min_should_match))
         scored = scored.drop("must_cnt")
+    if prox:
+        # same double expression as the WAND kernel: s * (1.0/(1.0+w))
+        scored = scored.withColumn(
+            "score",
+            F.col("score") * (F.lit(1.0) /
+                              (F.lit(1.0) +
+                               _width_of_entries(F.col("cs")).cast("double"))))
     scored = scored.drop("cs")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
@@ -519,7 +629,8 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                     min_match: int | None = None,
                     must_terms: frozenset | None = None,
                     n_must: int = 0,
-                    dead: np.ndarray | None = None) -> pd.DataFrame:
+                    dead: np.ndarray | None = None,
+                    score_mode: str = "bm25") -> pd.DataFrame:
     """When (range_lo, range_hi) restrict the docid space, only docs in
     that range are scored (blocks outside are never decoded) — the
     chunk-parallel mode of :func:`search_wand_ranges`. Exact within the
@@ -560,8 +671,26 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     ``dead`` (tombstoned docids, sorted int64): masked out of every
     candidate set before the heap — the re-crawl overwrite path
     (operators/incremental.py) marks superseded base docids dead and
-    query time must never return them."""
+    query time must never return them.
+
+    ``score_mode="proximity"`` (opt-in, round 7 — the bool-path analog
+    of search_phrase's proximity mode): each candidate's BM25 sum is
+    multiplied by 1/(1 + min_window_width), where min_window_width is
+    the width (max − min position) of the smallest window containing
+    at least one occurrence of EVERY distinct positive term the doc
+    matched — 0 (factor 1.0) for single-term matches. Block-max
+    pruning stays exact: the factor is ≤ 1, so every BM25 interval
+    upper bound still bounds the adjusted score, and the pre-heap
+    theta mask (BM25 ≥ theta) keeps a superset of the docs that can
+    enter the heap. Positions decode lazily — only for blocks in
+    intervals that actually get scored, only after the theta mask —
+    via the same decode_block_ext/decode_positions_at two-pass split
+    the phrase path uses. Bit-identical to search_taat's proximity
+    mode (the width funnels through the same _min_window_flat and the
+    adjustment is the same double expression s * (1.0/(1.0+w)))."""
     from ..scoring import partial as _partial
+
+    prox = score_mode == "proximity"
 
     if range_hi is None:
         range_hi = np.iinfo(np.int64).max
@@ -614,10 +743,15 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
             buf = np.frombuffer(payload, dtype=np.uint8)
             scale = max(1.0, avgdl / float(src_avgdl)) if src_avgdl is not None else 1.0
             prev_last = int(first_docid) - 1
-            for b in blks:
+            for bi, b in enumerate(blks):
+                # end byte = next block's offset (payload end for the
+                # last) — bounds the lazy position decode in proximity
+                # mode, exactly like the phrase two-pass path
+                blk_end = (int(blks[bi + 1]["offset"])
+                           if bi + 1 < len(blks) else buf.size)
                 blocks.append((prev_last + 1, int(b["last_docid"]),
                                idfs[t] * float(b["max_partial"]) * scale,
-                               ti, buf, int(b["offset"])))
+                               ti, buf, int(b["offset"]), blk_end))
                 prev_last = int(b["last_docid"])
 
     # must_not blocks ride the same table with term index -1: zero
@@ -636,7 +770,7 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                 prev_last = int(first_docid) - 1
                 for b in blks:
                     blocks.append((prev_last + 1, int(b["last_docid"]), 0.0,
-                                   -1, buf, int(b["offset"])))
+                                   -1, buf, int(b["offset"]), 0))
                     prev_last = int(b["last_docid"])
 
     # drop blocks wholly outside the docid range, then build
@@ -653,7 +787,7 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     n_iv = ends.size
     ubs = np.zeros(n_iv, dtype=np.float64)
     cover: list[list[int]] = [[] for _ in range(n_iv)]
-    for bi, (s, e, ub, ti, buf, off) in enumerate(blocks):
+    for bi, (s, e, ub, ti, buf, off, _end) in enumerate(blocks):
         lo = np.searchsorted(ends, s, side="left")
         hi = np.searchsorted(ends, e, side="left")
         ubs[lo:hi + 1] += ub
@@ -665,6 +799,8 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
     theta = -np.inf
     decoded_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     neg_cache: dict[int, np.ndarray] = {}   # must_not block docids
+    ext_cache: dict[int, tuple[np.ndarray, int]] = {}  # prox: (tfs, pos_off)
+    pos_cache: dict[int, np.ndarray] = {}   # prox: lazily decoded positions
 
     for iv in order:
         if len(heap) >= k and ubs[iv] < theta:
@@ -686,10 +822,10 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
             continue
         # gather contributions per term in sorted-term order; must_not
         # blocks (ti = -1, sorted first) only collect exclusion docids
-        per_term: list[tuple[np.ndarray, np.ndarray, int]] = []
+        per_term: list[tuple] = []
         excl: list[np.ndarray] = []
         for bi in sorted(cover[iv], key=lambda b: blocks[b][3]):
-            s, e, ub, ti, buf, off = blocks[bi]
+            s, e, ub, ti, buf, off, _end = blocks[bi]
             if ti < 0:
                 if bi not in neg_cache:
                     neg_cache[bi] = decode_block(buf, off)[0]
@@ -699,12 +835,19 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
                     excl.append(dneg[mneg])
                 continue
             if bi not in decoded_cache:
-                d, t, l = decode_block(buf, off)
+                if prox:
+                    # ext variant records where the position stream
+                    # starts; the stream itself decodes lazily, only
+                    # for blocks whose docs survive the theta mask
+                    d, t, l, pos_off = decode_block_ext(buf, off)
+                    ext_cache[bi] = (t, pos_off)
+                else:
+                    d, t, l = decode_block(buf, off)
                 decoded_cache[bi] = (d, idfs[terms[ti]] * _partial(t, l, avgdl))
             d, c = decoded_cache[bi]
             sel = (d >= lo_d) & (d <= hi_d)
             if sel.any():
-                per_term.append((d[sel], c[sel], ti))
+                per_term.append((d[sel], c[sel], ti, bi, sel))
         if not per_term:
             continue
         alld = np.concatenate([p[0] for p in per_term])
@@ -750,9 +893,50 @@ def _wand_one_query(g: pd.DataFrame, n_docs: int, avgdl: float, k: int,
             # theta) MUST survive the mask: they can still win on the
             # docid tiebreak. Keeps the per-interval Python work
             # O(survivors), not O(interval size), on flat-score tails.
+            # in proximity mode `scores` here are still the raw BM25
+            # sums — upper bounds of the adjusted scores (factor ≤ 1),
+            # so the mask keeps a superset and pruning stays exact
             keep = scores >= theta
             if not keep.all():
                 uniq, scores = uniq[keep], scores[keep]
+                if uniq.size == 0:
+                    continue
+        if prox and uniq.size:
+            # positions ONLY for theta-surviving candidates: decode a
+            # block's position stream at most once (pos_cache), slice
+            # the interval's docs (sel), then the candidates' runs
+            didx_l: list[np.ndarray] = []
+            pos_l: list[np.ndarray] = []
+            lab_l: list[np.ndarray] = []
+            for (dsel, _c, ti2, bi2, sel2) in per_term:
+                m = np.isin(dsel, uniq, assume_unique=True)
+                if not m.any():
+                    continue
+                tf_full, pos_off2 = ext_cache[bi2]
+                if bi2 not in pos_cache:
+                    _s2, _e2, _ub2, _ti2, buf2, _off2, end2 = blocks[bi2]
+                    pos_cache[bi2] = decode_positions_at(
+                        buf2, pos_off2, tf_full, end=end2)
+                pos_sel = pos_cache[bi2][np.repeat(sel2, tf_full)]
+                tf_sel = tf_full[sel2]
+                idx = np.searchsorted(uniq, dsel[m])
+                didx_l.append(np.repeat(idx, tf_sel[m]))
+                pos_l.append(pos_sel[np.repeat(m, tf_sel)])
+                lab_l.append(np.full(int(tf_sel[m].sum()), ti2,
+                                     dtype=np.int64))
+            didx = np.concatenate(didx_l)
+            posf = np.concatenate(pos_l).astype(np.int64)
+            labf = np.concatenate(lab_l)
+            order_d = np.argsort(didx, kind="stable")
+            didx, posf, labf = didx[order_d], posf[order_d], labf[order_d]
+            bounds = np.searchsorted(didx, np.arange(uniq.size + 1))
+            widths = np.zeros(uniq.size, dtype=np.int64)
+            for i in range(uniq.size):
+                lo2, hi2 = int(bounds[i]), int(bounds[i + 1])
+                if hi2 > lo2:
+                    widths[i] = _min_window_flat(posf[lo2:hi2],
+                                                 labf[lo2:hi2])
+            scores = scores * (1.0 / (1.0 + widths.astype(np.float64)))
         for d, sc in zip(uniq.tolist(), scores.tolist()):
             item = (sc, -d)
             if len(heap) < k:
@@ -818,6 +1002,7 @@ def search_wand(
     k: int = TOP_K,
     require_all: bool = False,
     min_should_match: int | None = None,
+    score_mode: str = "bm25",
 ) -> DataFrame:
     """Per-query exact top-k with block-max pruning; one applyInPandas
     group per query (ES-style shard fan-in happens inside the group —
@@ -829,8 +1014,11 @@ def search_wand(
     ``min_should_match``, a ``neg_qtext`` column (bool.must_not), and a
     ``must_qtext`` column (mixed bool.must + optional should clauses)
     carry the remaining ES bool semantics — see search_taat; all three
-    paths are bit-identical (asserted in tests)."""
+    paths are bit-identical (asserted in tests).
+    ``score_mode="proximity"``: opt-in position-window score weighting
+    (contract in :func:`_wand_one_query`)."""
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
+    _check_score_mode(score_mode)
     qterms = analyze_queries(queries)
     nq = analyze_neg_queries(queries)
     mq = analyze_must_queries(queries)
@@ -856,10 +1044,12 @@ def search_wand(
             mt = frozenset(must_by_q.get(int(key[0]), ()))
             return _wand_one_query(g, n_docs, avgdl, k, dfg,
                                    min_match=min_should_match,
-                                   must_terms=mt, n_must=len(mt), dead=dead)
+                                   must_terms=mt, n_must=len(mt), dead=dead,
+                                   score_mode=score_mode)
         mm = qn[int(key[0])] if qn is not None else min_should_match
         return _wand_one_query(g, n_docs, avgdl, k, dfg,
-                               min_match=mm, dead=dead)
+                               min_match=mm, dead=dead,
+                               score_mode=score_mode)
 
     return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
 
@@ -880,6 +1070,7 @@ def search_topk(
     n_ranges: int | None = None,
     require_all: bool = False,
     min_should_match: int | None = None,
+    score_mode: str = "bm25",
 ) -> DataFrame:
     """THE default query path. Derives the chunk-parallel fan-out from
     the index stats and dispatches: one range → single-group WAND (small
@@ -893,10 +1084,12 @@ def search_topk(
     nr = n_ranges if n_ranges is not None else default_n_ranges(n_docs)
     if nr <= 1:
         return search_wand(spark, index_dir, queries, k=k, require_all=require_all,
-                           min_should_match=min_should_match)
+                           min_should_match=min_should_match,
+                           score_mode=score_mode)
     return search_wand_ranges(spark, index_dir, queries, k=k, n_ranges=nr,
                               require_all=require_all,
-                              min_should_match=min_should_match)
+                              min_should_match=min_should_match,
+                              score_mode=score_mode)
 
 
 def search_wand_ranges(
@@ -907,6 +1100,7 @@ def search_wand_ranges(
     n_ranges: int = 8,
     require_all: bool = False,
     min_should_match: int | None = None,
+    score_mode: str = "bm25",
 ) -> DataFrame:
     """Chunk-parallel exact WAND — the 10^12-scale query path.
 
@@ -922,6 +1116,7 @@ def search_wand_ranges(
     from pyspark.sql.window import Window
 
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
+    _check_score_mode(score_mode)
     qterms = analyze_queries(queries)
     nq = analyze_neg_queries(queries)
     mq = analyze_must_queries(queries)
@@ -972,12 +1167,14 @@ def search_wand_ranges(
                                    range_lo=int(g["lo"].iloc[0]),
                                    range_hi=int(g["hi"].iloc[0]),
                                    min_match=min_should_match,
-                                   must_terms=mt, n_must=len(mt), dead=dead)
+                                   must_terms=mt, n_must=len(mt), dead=dead,
+                                   score_mode=score_mode)
         mm = qn[int(key[0])] if qn is not None else min_should_match
         return _wand_one_query(g, n_docs, avgdl, k, dfg,
                                range_lo=int(g["lo"].iloc[0]),
                                range_hi=int(g["hi"].iloc[0]),
-                               min_match=mm, dead=dead)
+                               min_match=mm, dead=dead,
+                               score_mode=score_mode)
 
     cands = seg_r.groupBy("query_id", "rng").applyInPandas(run, RESULT_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))

@@ -30,6 +30,7 @@ class OracleIndex:
     dls: np.ndarray                      # docid -> doc length
     postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term -> (docids, tfs)
     df: dict[str, int] = field(default_factory=dict)
+    tokens: list[list[str]] = field(default_factory=list)  # docid -> tokens
 
     def __post_init__(self) -> None:
         if not self.df:
@@ -71,8 +72,10 @@ def build(rows: list[dict]) -> OracleIndex:
     n = len(urls)
     dls = np.zeros(n, dtype=np.int64)
     post: dict[str, list[tuple[int, int]]] = {}
+    all_toks: list[list[str]] = []
     for docid, u in enumerate(urls):
         toks = tokenize(docs[u])
+        all_toks.append(toks)
         dls[docid] = len(toks)
         for term, tf in Counter(toks).items():
             post.setdefault(term, []).append((docid, tf))
@@ -84,14 +87,28 @@ def build(rows: list[dict]) -> OracleIndex:
         for t, ps in post.items()
     }
     avgdl = float(dls.sum()) / n if n else 0.0
-    return OracleIndex(n_docs=n, avgdl=avgdl, urls=urls, dls=dls, postings=postings)
+    return OracleIndex(n_docs=n, avgdl=avgdl, urls=urls, dls=dls,
+                       postings=postings, tokens=all_toks)
+
+
+def _brute_min_window(pos_lists: list[list[int]]) -> int:
+    """Smallest max−min over every choice of one position per list —
+    deliberately the brute-force cartesian product (itertools.product),
+    NOT the engine's two-pointer sweep, so the oracle's width is an
+    algorithmically independent check. Fixture docs are small; the
+    product over per-term occurrence lists stays tiny."""
+    if len(pos_lists) <= 1:
+        return 0
+    from itertools import product
+    return min(max(c) - min(c) for c in product(*pos_lists))
 
 
 def search(index: OracleIndex, qtext: str | None, k: int = TOP_K,
            neg_qtext: str | None = None,
            min_should_match: int | None = None,
            require_all: bool = False,
-           must_qtext: str | None = None) -> list[tuple[int, int, float]]:
+           must_qtext: str | None = None,
+           score_mode: str = "bm25") -> list[tuple[int, int, float]]:
     """BM25 top-k for one query -> [(rank, docid, score)], ordered by
     (score desc, docid asc); term sum in sorted term order.
 
@@ -138,6 +155,22 @@ def search(index: OracleIndex, qtext: str | None, k: int = TOP_K,
             if t in index.postings:
                 excl.update(index.postings[t][0].tolist())
         acc = {d: s for d, s in acc.items() if d not in excl}
+    if score_mode == "proximity":
+        # s × 1/(1 + min window width over matched positive terms) —
+        # positions re-derived from the raw token lists (not from any
+        # postings structure), width by brute-force product
+        adj: dict[int, float] = {}
+        for d, s in acc.items():
+            toks = index.tokens[d]
+            pls = []
+            for t in pos:
+                pl = [i for i, tok in enumerate(toks) if tok == t]
+                if pl:
+                    pls.append(pl)
+            adj[d] = s * (1.0 / (1.0 + float(_brute_min_window(pls))))
+        acc = adj
+    elif score_mode != "bm25":
+        raise ValueError(f"unknown score_mode {score_mode!r}")
     ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
 

@@ -61,9 +61,11 @@ def main() -> None:
                          "at least M distinct analyzed query terms")
     ap.add_argument("--score-mode", choices=["bm25", "proximity"],
                     default="bm25",
-                    help="phrase mode: 'proximity' weights BM25 by "
-                         "1/(1+min window width) so the closest match "
-                         "ranks first (slop>0)")
+                    help="'proximity' weights BM25 by 1/(1+min window "
+                         "width) so the closest match ranks first — on "
+                         "phrase mode (best sloppy-match window) and on "
+                         "wand/taat modes (min window covering every "
+                         "matched positive term)")
     ap.add_argument("--must-not", default=None, metavar="TEXT",
                     help="bool.must_not: exclude docs matching ANY analyzed "
                          "term of TEXT (applied to every query)")
@@ -96,9 +98,10 @@ def main() -> None:
             ap.error(f"{', '.join(bad)} only apply to wand/taat modes, "
                      f"not --mode {args.mode}")
     if args.mode != "phrase":
-        if args.score_mode != "bm25":
-            ap.error("--score-mode proximity only applies to --mode phrase "
-                     "(other modes score pure BM25)")
+        if args.score_mode != "bm25" and args.mode in ("prefix",
+                                                       "multi-match"):
+            ap.error("--score-mode proximity applies to phrase and "
+                     "wand/taat modes only")
         if args.slop:
             ap.error("--slop only applies to --mode phrase")
     if args.mode != "multi-match" and (args.fields or args.tie_breaker):
@@ -124,7 +127,8 @@ def main() -> None:
                 if "must_qtext" in qdf.columns else F.lit(args.must))
         qdf = qdf.withColumn("must_qtext", must)
     bool_kw = dict(require_all=args.require_all,
-                   min_should_match=args.min_should_match)
+                   min_should_match=args.min_should_match,
+                   score_mode=args.score_mode)
     if args.mode == "wand":
         res = search_topk(spark, index, qdf, k=args.k, n_ranges=args.ranges,
                           **bool_kw)
