@@ -100,8 +100,8 @@ def main() -> None:
     if args.mode != "phrase":
         if args.score_mode != "bm25" and args.mode in ("prefix",
                                                        "multi-match"):
-            ap.error("--score-mode proximity applies to phrase and "
-                     "wand/taat modes only")
+            ap.error("--score-mode proximity only applies to phrase "
+                     "and wand/taat modes")
         if args.slop:
             ap.error("--slop only applies to --mode phrase")
     if args.mode != "multi-match" and (args.fields or args.tie_breaker):

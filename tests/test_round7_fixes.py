@@ -172,7 +172,7 @@ def test_keep_pos_flat_rejects_trailing_garbage():
     ["--mode", "phrase", "--must-not", "x"],
     ["--mode", "phrase", "--require-all"],
     ["--mode", "phrase", "--min-should-match", "2"],
-    ["--mode", "wand", "--score-mode", "proximity"],
+    ["--mode", "prefix", "--score-mode", "proximity"],
     ["--mode", "taat", "--slop", "2"],
 ])
 def test_search_cli_rejects_incompatible_flags(argv):
