@@ -1241,16 +1241,30 @@ FUZZY_EDITS = 2
 PREFIX_CAP = 1024
 
 
+# phrase-prefix (ES match_phrase_prefix, Q14): fixed terms + trailing
+# dictionary-expanded prefix; chosen so the expansion fan-out is
+# load-bearing at the driver's sf0.01 (table s → 6 expansions / 61
+# matching docs; data v → value+vector / 23; the part d → two fixed
+# positional constraints)
+PPREFIX_QUERIES = [(0, "table s"), (1, "data v"), (2, "the part d")]
+PPREFIX_CAP = 50   # ES match_phrase_prefix max_expansions default
+
+
 def q_bm25_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 Q12+Q13 folded: prefix (`pre*`) and fuzzy (`word~2`)
-    term queries — dictionary expansion (range scan for prefixes,
+    """SURVEY §2 Q12+Q13+Q14 folded: prefix (`pre*`), fuzzy (`word~2`)
+    and phrase-prefix (`"fixed pre"` — ES match_phrase_prefix) term
+    queries — dictionary expansion (range scan for prefixes,
     Levenshtein scan for fuzzy), then the standard engine path scores
     each expanded disjunction (ES query_string, rewrite=
-    scoring_boolean); both kinds fully ranked vs the DuckDB twin."""
-    from .operators.search import search_fuzzy, search_prefix
+    scoring_boolean); phrase-prefix adds the positional last-slot
+    constraint and scores fixed ∪ per-doc matched expansions. All
+    three kinds fully ranked vs the DuckDB twin."""
+    from .operators.search import (search_fuzzy, search_phrase_prefix,
+                                   search_prefix)
     idx = _ensure_index(spark, sf_dir)
     pq_ = spark.createDataFrame(PREFIX_QUERIES, "query_id long, prefix string")
     fq = spark.createDataFrame(FUZZY_QUERIES, "query_id long, fterm string")
+    ppq = spark.createDataFrame(PPREFIX_QUERIES, "query_id long, qtext string")
     pre = _rerank_rounded(search_prefix(spark, idx, pq_, k=20,
                                         cap=PREFIX_CAP)).select(
         F.lit("prefix").alias("kind"), "*")
@@ -1258,7 +1272,61 @@ def q_bm25_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        max_edits=FUZZY_EDITS,
                                        cap=PREFIX_CAP)).select(
         F.lit("fuzzy").alias("kind"), "*")
-    return pre.unionByName(fuz)
+    pp = _rerank_rounded(search_phrase_prefix(spark, idx, ppq, k=20,
+                                              max_expansions=PPREFIX_CAP)
+                         ).select(F.lit("pprefix").alias("kind"), "*")
+    return pre.unionByName(fuz).unionByName(pp)
+
+
+def _pprefix_sql_blocks(k1: float, b: float) -> tuple[str, str]:
+    """Per-query CTE blocks for the phrase-prefix kind: expansion =
+    LIKE-capped dictionary scan (df desc / term asc, cap 50), match =
+    positional self-joins with the last slot constrained to the
+    expansion set, scoring pairs = (matched docs × fixed terms) UNION
+    the per-doc matched expansions (UNION dedups an expansion equal to
+    a fixed term — counted once, same as the engine)."""
+    from .textops import tokenize
+    ctes, selects = [], []
+    for qid, qtext in PPREFIX_QUERIES:
+        toks = tokenize(qtext)
+        fixed, pfx = toks[:-1], toks[-1]
+        n = len(fixed)
+        joins = "\n".join(
+            f"    JOIN tokpos t{i} ON t{i}.docid = t0.docid "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'"
+            for i, t in enumerate(fixed[1:], start=1))
+        fixed_vals = ", ".join(f"('{t}')" for t in sorted(set(fixed)))
+        ctes.append(f"""
+, exp_pp{qid} AS (
+  SELECT term FROM (
+    SELECT d.term, row_number() OVER (ORDER BY d.df DESC, d.term) AS rn
+    FROM dfs d WHERE d.term LIKE '{pfx}%') z
+  WHERE rn <= {PPREFIX_CAP}
+), match_pp{qid} AS (
+  SELECT DISTINCT t0.docid, tn.term AS e
+  FROM tokpos t0
+{joins}
+    JOIN tokpos tn ON tn.docid = t0.docid AND tn.pos = t0.pos + {n}
+  WHERE t0.term = '{fixed[0]}' AND tn.term IN (SELECT term FROM exp_pp{qid})
+), pairs_pp{qid} AS (
+  SELECT m.docid, f.term
+  FROM (SELECT DISTINCT docid FROM match_pp{qid}) m
+  CROSS JOIN (VALUES {fixed_vals}) AS f(term)
+  UNION
+  SELECT docid, e AS term FROM match_pp{qid}
+)""")
+        selects.append(f"""
+  SELECT CAST({qid} AS BIGINT) AS query_id, tf.docid,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN pairs_pp{qid} p ON p.docid = tf.docid AND p.term = tf.term
+  JOIN dfs d ON d.term = tf.term
+  JOIN dl ON dl.docid = tf.docid
+  CROSS JOIN stats s
+  GROUP BY tf.docid""")
+    scored = ", scored_pp AS (" + "\n  UNION ALL\n".join(selects) + "\n)"
+    return "".join(ctes), scored
 
 
 def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
@@ -1276,7 +1344,19 @@ def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.docid
 )"""
-    return f"""{_CORPUS_CTES_DUCK}
+    pos_cte = f"""
+, tokord AS (
+  SELECT docid,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')))) AS ord
+  FROM ids
+), tokpos AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) - 1 AS pos
+  FROM tokord WHERE length(term) <= 64
+)"""
+    pp_ctes, pp_scored = _pprefix_sql_blocks(K1, B)
+    return f"""{_CORPUS_CTES_DUCK}{pos_cte}{pp_ctes}
 , qpfx AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, pfx
   FROM (VALUES {pvals}) AS q(query_id, pfx)
@@ -1297,7 +1377,7 @@ def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
                 ORDER BY d.df DESC, d.term) AS rn
     FROM qfz f JOIN dfs d ON levenshtein(d.term, f.ft) <= {FUZZY_EDITS}) z
   WHERE rn <= {PREFIX_CAP}
-){scored_tmpl.format(tag="pre", k1=K1, b=B)}{scored_tmpl.format(tag="fuz", k1=K1, b=B)},
+){scored_tmpl.format(tag="pre", k1=K1, b=B)}{scored_tmpl.format(tag="fuz", k1=K1, b=B)}{pp_scored},
 ranked AS (
   SELECT 'prefix' AS kind, query_id, docid, round(score, 6) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -1308,6 +1388,11 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY round(score, 6) DESC, docid) AS BIGINT)
   FROM scored_fuz
+  UNION ALL
+  SELECT 'pprefix', query_id, docid, round(score, 6),
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT)
+  FROM scored_pp
 )
 SELECT kind, query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
 """

@@ -1702,3 +1702,271 @@ def search_fuzzy(spark: SparkSession, index_dir, queries: DataFrame,
                 for r in qrows]
     qdf = spark.createDataFrame(expanded, "query_id long, qtext string")
     return search_topk(spark, index_dir, qdf, k=k, n_ranges=n_ranges)
+
+
+# ---------------------------------------------------------------------------
+# Q14: match_phrase_prefix (ES search-as-you-type phrase + trailing prefix)
+# ---------------------------------------------------------------------------
+
+MAX_PHRASE_PREFIX_EXPANSIONS = 50   # ES match_phrase_prefix max_expansions
+
+
+def _phrase_prefix_one_query(g: pd.DataFrame, fixed: list[str],
+                             expansions: list[str],
+                             n_docs: int, avgdl: float, k: int, dfg: dict,
+                             range_lo: int = 0, range_hi: int | None = None,
+                             dead: np.ndarray | None = None) -> pd.DataFrame:
+    """match_phrase_prefix top-k over one query's candidate rows.
+
+    Documented contract (ES parity on the filter side): the analyzed
+    phrase is ``fixed + [prefix]``; the trailing prefix was expanded
+    against the term dictionary into ``expansions`` (df-desc-capped,
+    the same deterministic rewrite cap as Q12). A doc matches iff the
+    exact token sequence ``fixed + [e]`` occurs for SOME expansion e
+    (slop is a declared non-goal — ES's default slop 0). Matching docs
+    are ranked by the disjunctive BM25 sum over the sorted distinct
+    union of the FIXED terms and the expansions that complete the
+    phrase in THAT doc (each term once — an expansion equal to a fixed
+    term does not double-count), the exactly-SQL-expressible analog of
+    Lucene's MultiPhraseQuery scoring.
+
+    Same two-pass structure as :func:`_phrase_one_query`: pass 1
+    decodes only the scoring streams and intersects docids; pass 2
+    pays for position bytes only in blocks still holding candidates.
+    """
+    from ..scoring import partial as _partial
+
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="int32"),
+                          "docid": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if range_hi is None:
+        range_hi = np.iinfo(np.int64).max
+    qid = int(g["query_id"].iloc[0])
+    fixed_terms = sorted(set(fixed))
+    term_rows: dict[str, list[tuple]] = {}
+    for row in zip(g["term"], g["chunk"], g["first_docid"], g["blocks"],
+                   g["postings"]):
+        term_rows.setdefault(row[0], []).append(row)
+    if any(t not in term_rows for t in fixed_terms):
+        return empty  # a required fixed term has no postings here
+    exp_here = [e for e in expansions if e in term_rows]
+    if not exp_here:
+        return empty  # no expansion has postings -> nothing completes
+
+    # PASS 1 — scoring streams only
+    per_term_blocks: dict[str, list[tuple]] = {}
+    for t in fixed_terms + [e for e in exp_here if e not in fixed_terms]:
+        blocks = []
+        for (_t, chunk, first, blks, payload) in sorted(
+                term_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            prev_last = int(first) - 1
+            for bi, b in enumerate(blks):
+                last = int(b["last_docid"])
+                if last >= range_lo and prev_last + 1 <= range_hi:
+                    d, tf, dl, pos_off = decode_block_ext(buf, int(b["offset"]))
+                    sel = (d >= range_lo) & (d <= range_hi)
+                    if sel.any():
+                        blk_end = (int(blks[bi + 1]["offset"])
+                                   if bi + 1 < len(blks) else buf.size)
+                        blocks.append((d[sel], tf[sel], dl[sel], buf,
+                                       pos_off, sel, tf, blk_end))
+                prev_last = last
+        if blocks:
+            per_term_blocks[t] = blocks
+        elif t in fixed_terms:
+            return empty
+
+    inter = None
+    for t in fixed_terms:
+        td = np.concatenate([b[0] for b in per_term_blocks[t]])
+        inter = td if inter is None else np.intersect1d(inter, td,
+                                                        assume_unique=True)
+        if inter.size == 0:
+            return empty
+    exp_union_l = [np.concatenate([b[0] for b in per_term_blocks[e]])
+                   for e in exp_here if e in per_term_blocks]
+    if not exp_union_l:
+        return empty
+    exp_union = np.unique(np.concatenate(exp_union_l))
+    inter = exp_union if inter is None else np.intersect1d(
+        inter, exp_union, assume_unique=True)
+    if dead is not None and dead.size:
+        inter = inter[~np.isin(inter, dead)]
+    if inter.size == 0:
+        return empty
+
+    # PASS 2 — positions only for blocks still holding candidates
+    per_term: dict[str, tuple] = {}
+    for t, blocks in per_term_blocks.items():
+        ds, tfl, dll, pfl = [], [], [], []
+        for (d, tf, dl, buf, pos_off, sel, tf_full, blk_end) in blocks:
+            keep = np.isin(d, inter, assume_unique=True)
+            if not keep.any():
+                continue
+            pos = decode_positions_at(buf, pos_off, tf_full, end=blk_end)
+            pos = pos[np.repeat(sel, tf_full)]
+            ds.append(d[keep]); tfl.append(tf[keep]); dll.append(dl[keep])
+            pfl.append(pos[np.repeat(keep, tf)])
+        if ds:
+            per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
+                           np.concatenate(dll), np.concatenate(pfl))
+    if any(t not in per_term for t in fixed_terms):
+        return empty
+
+    # anchors over the FIXED constraints (offsets 0..n_fixed-1), exactly
+    # the exact-phrase anchor intersection
+    anchors: np.ndarray | None = None
+    for o, t in enumerate(fixed):
+        d, tf, _dl, pos = per_term[t]
+        docc = np.repeat(d, tf)
+        keep = pos >= o
+        if not keep.any():
+            return empty
+        local = np.searchsorted(inter, docc[keep]).astype(np.int64)
+        key = (local << np.int64(32)) | (pos[keep].astype(np.int64) - o)
+        key = np.unique(key)
+        anchors = key if anchors is None else np.intersect1d(
+            anchors, key, assume_unique=True)
+        if anchors.size == 0:
+            return empty
+
+    # the trailing slot: an anchor completes iff SOME expansion sits at
+    # offset len(fixed); collect (doc, expansion) pairs for scoring
+    o_last = len(fixed)
+    matched_local: np.ndarray | None = None
+    docs_by_exp: dict[str, np.ndarray] = {}
+    for e in exp_here:
+        if e not in per_term:
+            continue
+        d, tf, _dl, pos = per_term[e]
+        docc = np.repeat(d, tf)
+        keep = pos >= o_last
+        if not keep.any():
+            continue
+        local = np.searchsorted(inter, docc[keep]).astype(np.int64)
+        key = np.unique((local << np.int64(32))
+                        | (pos[keep].astype(np.int64) - o_last))
+        hit = key if anchors is None else np.intersect1d(
+            anchors, key, assume_unique=True)
+        if hit.size == 0:
+            continue
+        dloc = np.unique(hit >> np.int64(32))
+        docs_by_exp[e] = inter[dloc]
+        matched_local = dloc if matched_local is None else np.union1d(
+            matched_local, dloc)
+    if matched_local is None or matched_local.size == 0:
+        return empty
+    matched = inter[matched_local]
+
+    # BM25 over sorted distinct (fixed ∪ per-doc matched expansions)
+    scores = np.zeros(matched.size, dtype=np.float64)
+    for t in sorted(set(fixed_terms) | set(docs_by_exp)):
+        d, tf, dl, _pos = per_term[t]
+        if t in fixed_terms:
+            tgt = matched            # fixed terms score on every match
+        else:
+            tgt = docs_by_exp[t]     # expansions only where they complete
+        sel = np.isin(d, tgt, assume_unique=True)
+        if not sel.any():
+            continue
+        idx = np.searchsorted(matched, d[sel])
+        scores[idx] += _idf(float(dfg[t]), n_docs) * _partial(
+            tf[sel], dl[sel], avgdl)
+
+    order = np.lexsort((matched, -scores))[:k]
+    return pd.DataFrame({
+        "query_id": qid,
+        "rank": np.arange(1, order.size + 1, dtype=np.int32),
+        "docid": matched[order],
+        "score": scores[order],
+    })
+
+
+def search_phrase_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_ranges: int | None = None,
+    max_expansions: int = MAX_PHRASE_PREFIX_EXPANSIONS,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` top-k: the query text analyzes to a
+    phrase whose LAST token is a prefix; the prefix expands against the
+    term dictionary (range-pushdown scan, df-desc cap ``max_expansions``
+    — ES default 50) and a doc matches iff the exact sequence
+    ``fixed + [e]`` occurs for some expansion e. Ranking contract in
+    :func:`_phrase_prefix_one_query`. Dispatches like
+    :func:`search_phrase`: single applyInPandas group per query on a
+    small index, chunk-parallel docid ranges on a large one (exact —
+    a doc's anchors are evaluated inside its one range)."""
+    from pyspark.sql.window import Window
+
+    n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
+    qterms = analyze_phrase_queries(queries)
+    phrase_rows = qterms.collect()
+    phrases: dict[int, list[tuple[int, str]]] = {}
+    for r in phrase_rows:
+        phrases.setdefault(int(r["query_id"]), []).append(
+            (int(r["qpos"]), r["term"]))
+    plans: dict[int, tuple[list[str], list[str]]] = {}
+    for qid, p in phrases.items():
+        p.sort()
+        toks = [t for _, t in p]
+        fixed, prefix = toks[:-1], toks[-1]
+        plans[qid] = (fixed,
+                      expand_prefix_terms(spark, index_dir, prefix,
+                                          cap=max_expansions))
+    all_terms = sorted({t for fixed, exps in plans.values()
+                        for t in (*fixed, *exps)})
+    if not all_terms:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    seg = candidate_segments(spark, index_dir, all_terms)
+    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
+    qdist = spark.createDataFrame(
+        [(qid, t) for qid, (fixed, exps) in plans.items()
+         for t in sorted(set(fixed) | set(exps))],
+        "query_id long, term string")
+
+    nr = n_ranges if n_ranges is not None else default_n_ranges(n_docs)
+    if nr <= 1:
+        seg_q = seg.join(F.broadcast(qdist), "term")
+
+        def run(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+            fixed, exps = plans[int(key[0])]
+            return _phrase_prefix_one_query(g, fixed, exps, n_docs, avgdl,
+                                            k, dfg, dead=dead)
+
+        return seg_q.groupBy("query_id").applyInPandas(run, RESULT_SCHEMA)
+
+    dom_lo, dom_hi = docid_domain(_as_dirs(index_dir))
+    if dom_hi < dom_lo:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    width = max(1, (dom_hi - dom_lo + 1 + nr - 1) // nr)
+    ranges = spark.createDataFrame(
+        [(r, dom_lo + r * width, dom_lo + (r + 1) * width - 1)
+         for r in range(nr)],
+        "rng int, lo long, hi long")
+    seg2 = seg.withColumn("__max_docid",
+                          F.element_at("blocks", -1)["last_docid"])
+    seg_r = (seg2.join(F.broadcast(qdist), "term")
+             .join(F.broadcast(ranges),
+                   (F.col("__max_docid") >= F.col("lo"))
+                   & (F.col("first_docid") <= F.col("hi"))))
+
+    def run_rng(key: tuple, g: pd.DataFrame) -> pd.DataFrame:
+        fixed, exps = plans[int(key[0])]
+        return _phrase_prefix_one_query(g, fixed, exps, n_docs, avgdl, k,
+                                        dfg,
+                                        range_lo=int(g["lo"].iloc[0]),
+                                        range_hi=int(g["hi"].iloc[0]),
+                                        dead=dead)
+
+    cands = seg_r.groupBy("query_id", "rng").applyInPandas(run_rng,
+                                                           RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))

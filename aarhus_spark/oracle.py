@@ -181,3 +181,41 @@ def search_all(index: OracleIndex, queries: list[tuple[int, str]], k: int = TOP_
     for qid, qtext in queries:
         out.extend((qid, r, d, s) for r, d, s in search(index, qtext, k))
     return out
+
+
+def search_phrase_prefix(index: OracleIndex, qtext: str, k: int = TOP_K,
+                         max_expansions: int = 50) -> list[tuple[int, int, float]]:
+    """ES match_phrase_prefix twin, brute force over the raw token
+    lists (no postings machinery): the analyzed phrase's last token is
+    a prefix, expanded against the vocabulary df-desc / term-asc with
+    a ``max_expansions`` cap (the engine's declared rewrite cap); a
+    doc matches iff the exact sequence fixed+[e] occurs for some
+    expansion e; score = BM25 sum over the sorted distinct union of
+    the fixed terms and the expansions that complete the phrase in
+    that doc."""
+    toks = tokenize(qtext)
+    if not toks:
+        return []
+    fixed, prefix = toks[:-1], toks[-1]
+    cand = sorted((t for t in index.postings if t.startswith(prefix)),
+                  key=lambda t: (-index.df[t], t))[:max_expansions]
+    exps = set(cand)
+    n_fixed = len(fixed)
+    matched: dict[int, set] = {}   # docid -> matched expansion terms
+    for d, dtoks in enumerate(index.tokens):
+        for i in range(len(dtoks) - n_fixed):
+            if dtoks[i:i + n_fixed] == fixed and dtoks[i + n_fixed] in exps:
+                matched.setdefault(d, set()).add(dtoks[i + n_fixed])
+    out: dict[int, float] = {}
+    for d, es in matched.items():
+        s = 0.0
+        for t in sorted(set(fixed) | es):
+            docids, tfs = index.postings[t]
+            j = int(np.searchsorted(docids, d))
+            tf = int(tfs[j])
+            s += _idf(index.df[t], index.n_docs) * float(
+                _partial(np.array([tf]), np.array([int(index.dls[d])]),
+                         index.avgdl)[0])
+        out[d] = s
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]

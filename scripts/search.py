@@ -37,15 +37,17 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges",
                                        "wand-single", "phrase", "prefix",
-                                       "multi-match"],
+                                       "phrase-prefix", "multi-match"],
                     default="wand",
                     help="wand = default dispatcher (chunk-parallel, fan-out "
                          "auto-sized from index stats); wand-ranges forces the "
                          "chunk-parallel path; wand-single forces one group/query; "
                          "prefix treats each qtext as a `pre*` wildcard "
                          "(dictionary-expanded, scoring_boolean rewrite); "
-                         "multi-match searches a multi-field index root "
-                         "(see --fields/--combine)")
+                         "phrase-prefix = ES match_phrase_prefix (exact "
+                         "phrase, trailing token dictionary-expanded, 50-"
+                         "expansion cap); multi-match searches a multi-field "
+                         "index root (see --fields/--combine)")
     ap.add_argument("--ranges", type=int, default=None,
                     help="override the docid-range fan-out (default: from stats)")
     ap.add_argument("--slop", type=int, default=0,
@@ -89,7 +91,7 @@ def main() -> None:
 
     # flag/mode compatibility: refuse combinations whose semantics the
     # chosen mode does not implement, instead of silently ignoring them
-    if args.mode in ("phrase", "prefix", "multi-match"):
+    if args.mode in ("phrase", "prefix", "phrase-prefix", "multi-match"):
         bad = [n for n, v in [("--require-all", args.require_all),
                               ("--min-should-match", args.min_should_match),
                               ("--must-not", args.must_not),
@@ -99,6 +101,7 @@ def main() -> None:
                      f"not --mode {args.mode}")
     if args.mode != "phrase":
         if args.score_mode != "bm25" and args.mode in ("prefix",
+                                                       "phrase-prefix",
                                                        "multi-match"):
             ap.error("--score-mode proximity only applies to phrase "
                      "and wand/taat modes")
@@ -147,6 +150,10 @@ def main() -> None:
                             qdf.select("query_id",
                                        F.col("qtext").alias("prefix")),
                             k=args.k, n_ranges=args.ranges)
+    elif args.mode == "phrase-prefix":
+        from aarhus_spark.operators.search import search_phrase_prefix
+        res = search_phrase_prefix(spark, index, qdf, k=args.k,
+                                   n_ranges=args.ranges)
     elif args.mode == "multi-match":
         from aarhus_spark.operators.multifield import search_multi_match
         fields, boosts = None, {}
