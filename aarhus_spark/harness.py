@@ -1249,22 +1249,42 @@ PREFIX_CAP = 1024
 PPREFIX_QUERIES = [(0, "table s"), (1, "data v"), (2, "the part d")]
 PPREFIX_CAP = 50   # ES match_phrase_prefix max_expansions default
 
+# wildcard patterns (ES `wildcard`, Q15): 's*' = the 6-term prefix
+# shape (range pushdown), '?ash' → hash (single-char wildcard),
+# '*ow' → {row, slow} (leading wildcard: full dictionary scan path)
+WILDCARD_QUERIES = [(0, "s*"), (1, "?ash"), (2, "*ow")]
+# regexp patterns (ES `regexp`, Q16 — whole-term anchored; subset
+# valid in BOTH Java regex and DuckDB's RE2): alternation+optional,
+# grouped alternation (no provable prefix), class quantifier
+REGEXP_QUERIES = [(0, "jo(in|b)s?"), (1, "s(mall|low)"),
+                  (2, "(row|col)[a-z]*")]
+
+
+def _wildcard_like(p: str) -> str:
+    return p.replace("*", "%").replace("?", "_")
+
 
 def q_bm25_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 Q12+Q13+Q14 folded: prefix (`pre*`), fuzzy (`word~2`)
-    and phrase-prefix (`"fixed pre"` — ES match_phrase_prefix) term
-    queries — dictionary expansion (range scan for prefixes,
-    Levenshtein scan for fuzzy), then the standard engine path scores
-    each expanded disjunction (ES query_string, rewrite=
-    scoring_boolean); phrase-prefix adds the positional last-slot
-    constraint and scores fixed ∪ per-doc matched expansions. All
-    three kinds fully ranked vs the DuckDB twin."""
+    """SURVEY §2 Q12-Q16 folded: prefix (`pre*`), fuzzy (`word~2`),
+    phrase-prefix (`"fixed pre"` — ES match_phrase_prefix), wildcard
+    (`w?ld*`) and regexp (`/jo(in|b)s?/`) term queries — dictionary
+    expansion (range scan for prefixes/prefix-shaped wildcards,
+    Levenshtein scan for fuzzy, LIKE/RLIKE scans for wildcard/regexp),
+    then the standard engine path scores each expanded disjunction
+    (ES query_string, rewrite=scoring_boolean); phrase-prefix adds the
+    positional last-slot constraint and scores fixed ∪ per-doc matched
+    expansions. All five kinds fully ranked vs the DuckDB twin."""
     from .operators.search import (search_fuzzy, search_phrase_prefix,
-                                   search_prefix)
+                                   search_prefix, search_regexp,
+                                   search_wildcard)
     idx = _ensure_index(spark, sf_dir)
     pq_ = spark.createDataFrame(PREFIX_QUERIES, "query_id long, prefix string")
     fq = spark.createDataFrame(FUZZY_QUERIES, "query_id long, fterm string")
     ppq = spark.createDataFrame(PPREFIX_QUERIES, "query_id long, qtext string")
+    wq = spark.createDataFrame(WILDCARD_QUERIES,
+                               "query_id long, wpattern string")
+    rq = spark.createDataFrame(REGEXP_QUERIES,
+                               "query_id long, rpattern string")
     pre = _rerank_rounded(search_prefix(spark, idx, pq_, k=20,
                                         cap=PREFIX_CAP)).select(
         F.lit("prefix").alias("kind"), "*")
@@ -1275,7 +1295,14 @@ def q_bm25_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = _rerank_rounded(search_phrase_prefix(spark, idx, ppq, k=20,
                                               max_expansions=PPREFIX_CAP)
                          ).select(F.lit("pprefix").alias("kind"), "*")
-    return pre.unionByName(fuz).unionByName(pp)
+    wld = _rerank_rounded(search_wildcard(spark, idx, wq, k=20,
+                                          cap=PREFIX_CAP)).select(
+        F.lit("wildcard").alias("kind"), "*")
+    rex = _rerank_rounded(search_regexp(spark, idx, rq, k=20,
+                                        cap=PREFIX_CAP)).select(
+        F.lit("regexp").alias("kind"), "*")
+    return (pre.unionByName(fuz).unionByName(pp)
+            .unionByName(wld).unionByName(rex))
 
 
 def _pprefix_sql_blocks(k1: float, b: float) -> tuple[str, str]:
@@ -1332,6 +1359,9 @@ def _pprefix_sql_blocks(k1: float, b: float) -> tuple[str, str]:
 def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
     pvals = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
     fvals = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    wvals = ", ".join(f"({qid}, '{_wildcard_like(p)}')"
+                      for qid, p in WILDCARD_QUERIES)
+    rvals = ", ".join(f"({qid}, '{p}')" for qid, p in REGEXP_QUERIES)
     scored_tmpl = """
 , scored_{tag} AS (
   SELECT q.query_id, tf.docid,
@@ -1377,7 +1407,27 @@ def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
                 ORDER BY d.df DESC, d.term) AS rn
     FROM qfz f JOIN dfs d ON levenshtein(d.term, f.ft) <= {FUZZY_EDITS}) z
   WHERE rn <= {PREFIX_CAP}
-){scored_tmpl.format(tag="pre", k1=K1, b=B)}{scored_tmpl.format(tag="fuz", k1=K1, b=B)}{pp_scored},
+), qwld AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, pat
+  FROM (VALUES {wvals}) AS q(query_id, pat)
+), qterms_wld AS (
+  SELECT query_id, term FROM (
+    SELECT w.query_id, d.term,
+           row_number() OVER (PARTITION BY w.query_id
+                ORDER BY d.df DESC, d.term) AS rn
+    FROM qwld w JOIN dfs d ON d.term LIKE w.pat) z
+  WHERE rn <= {PREFIX_CAP}
+), qrex AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, pat
+  FROM (VALUES {rvals}) AS q(query_id, pat)
+), qterms_rex AS (
+  SELECT query_id, term FROM (
+    SELECT r.query_id, d.term,
+           row_number() OVER (PARTITION BY r.query_id
+                ORDER BY d.df DESC, d.term) AS rn
+    FROM qrex r JOIN dfs d ON regexp_full_match(d.term, r.pat)) z
+  WHERE rn <= {PREFIX_CAP}
+){scored_tmpl.format(tag="pre", k1=K1, b=B)}{scored_tmpl.format(tag="fuz", k1=K1, b=B)}{scored_tmpl.format(tag="wld", k1=K1, b=B)}{scored_tmpl.format(tag="rex", k1=K1, b=B)}{pp_scored},
 ranked AS (
   SELECT 'prefix' AS kind, query_id, docid, round(score, 6) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -1393,6 +1443,16 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY round(score, 6) DESC, docid) AS BIGINT)
   FROM scored_pp
+  UNION ALL
+  SELECT 'wildcard', query_id, docid, round(score, 6),
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT)
+  FROM scored_wld
+  UNION ALL
+  SELECT 'regexp', query_id, docid, round(score, 6),
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT)
+  FROM scored_rex
 )
 SELECT kind, query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
 """

@@ -39,6 +39,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import re
 from typing import Iterator
 
 import numpy as np
@@ -430,8 +431,15 @@ def search_taat(
     require_all: bool = False,
     min_should_match: int | None = None,
     score_mode: str = "bm25",
+    return_matches: bool = False,
 ) -> DataFrame:
     """Distributed top-k. Returns (query_id, rank, docid, score).
+
+    ``return_matches=True`` (round 7) skips the final top-k window and
+    returns the full scored match set (query_id, docid, score) — the
+    seam the ES aggregations layer (operators/eslayer.py: facets,
+    function_score, search_after pagination) hangs off, since ES
+    computes those over ALL matching docs, not the top k.
 
     ``score_mode="proximity"`` (opt-in, round 7): multiply each doc's
     BM25 sum by 1/(1 + min_window_width) over the positions of its
@@ -489,7 +497,9 @@ def search_taat(
         mq = None    # must_qtext column present but all null
     _check_bool_args(require_all, min_should_match, has_must=mq is not None)
     if not terms and not must_terms:
-        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+        return spark.createDataFrame(
+            [], schema=("query_id long, docid long, score double"
+                        if return_matches else RESULT_SCHEMA))
     if not neg_terms:
         nq = None
     all_terms = sorted(set(terms) | set(neg_terms) | set(must_terms))
@@ -611,6 +621,8 @@ def search_taat(
                               (F.lit(1.0) +
                                _width_of_entries(F.col("cs")).cast("double"))))
     scored = scored.drop("cs")
+    if return_matches:
+        return scored.select("query_id", "docid", "score")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1598,6 +1610,27 @@ def _prefix_hi(prefix: str) -> str:
     return prefix[:-1] + chr(ord(prefix[-1]) + 1)
 
 
+def _expand_dict_terms(spark: SparkSession, index_dir, cond,
+                       cap: int) -> list[str]:
+    """Shared dictionary-expansion kernel for every term-rewrite query
+    (prefix / fuzzy / wildcard / regexp): scan each chain dir's term
+    dictionary under ``cond`` (a Column predicate — range conditions
+    push to the parquet scan, the dictionary is written term-SORTED so
+    row-group min/max stats prune), sum df across dirs, cap at ``cap``
+    by df desc / term asc — the deterministic analog of ES's rewrite
+    cap (``indices.query.bool.max_clause_count``)."""
+    dirs = _as_dirs(index_dir)
+    dic = None
+    for d in dirs:
+        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+                 .select("term", "df").filter(cond))
+        dic = piece if dic is None else dic.unionByName(piece)
+    rows = (dic.groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(cap)).collect())
+    return sorted(r["term"] for r in rows)
+
+
 def expand_prefix_terms(spark: SparkSession, index_dir, prefix: str,
                         cap: int = MAX_PREFIX_EXPANSIONS) -> list[str]:
     """Dictionary range scan ``term >= p AND term < p⊕1`` (pushed to the
@@ -1610,17 +1643,8 @@ def expand_prefix_terms(spark: SparkSession, index_dir, prefix: str,
     if not p or not all("a" <= c <= "z" or "0" <= c <= "9" for c in p):
         raise ValueError(f"prefix must be a non-empty [a-z0-9]+ string, "
                          f"got {prefix!r}")
-    dirs = _as_dirs(index_dir)
     rng = (F.col("term") >= p) & (F.col("term") < _prefix_hi(p))
-    dic = None
-    for d in dirs:
-        piece = (spark.read.parquet(IndexPaths(d).dictionary)
-                 .select("term", "df").filter(rng))
-        dic = piece if dic is None else dic.unionByName(piece)
-    rows = (dic.groupBy("term").agg(F.sum("df").alias("df"))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(int(cap)).collect())
-    return sorted(r["term"] for r in rows)
+    return _expand_dict_terms(spark, index_dir, rng, cap)
 
 
 def search_prefix(spark: SparkSession, index_dir, queries: DataFrame,
@@ -1669,20 +1693,11 @@ def expand_fuzzy_terms(spark: SparkSession, index_dir, term: str,
                          f"got {term!r}")
     if max_edits not in (0, 1, 2):
         raise ValueError("max_edits must be 0, 1 or 2 (ES fuzziness)")
-    dirs = _as_dirs(index_dir)
-    dic = None
-    for d in dirs:
-        piece = (spark.read.parquet(IndexPaths(d).dictionary)
-                 .select("term", "df")
-                 # cheap length pre-filter IS pushable; levenshtein isn't
-                 .filter((F.length("term") >= len(t) - max_edits)
-                         & (F.length("term") <= len(t) + max_edits))
-                 .filter(F.levenshtein(F.col("term"), F.lit(t)) <= max_edits))
-        dic = piece if dic is None else dic.unionByName(piece)
-    rows = (dic.groupBy("term").agg(F.sum("df").alias("df"))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(int(cap)).collect())
-    return sorted(r["term"] for r in rows)
+    # cheap length pre-filter IS pushable; levenshtein isn't
+    cond = ((F.length("term") >= len(t) - max_edits)
+            & (F.length("term") <= len(t) + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits))
+    return _expand_dict_terms(spark, index_dir, cond, cap)
 
 
 def search_fuzzy(spark: SparkSession, index_dir, queries: DataFrame,
@@ -1970,3 +1985,134 @@ def search_phrase_prefix(
     return (cands.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "docid", "score"))
+
+
+# ---------------------------------------------------------------------------
+# Q15: wildcard term queries (ES `wildcard` / query_string `wi*d`, `w?rd`)
+# Q16: regexp term queries (ES `regexp` / query_string /pattern/)
+# ---------------------------------------------------------------------------
+
+_TERM_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """Literal chars before the first `*`/`?` — the pushable term range."""
+    i = 0
+    while i < len(pattern) and pattern[i] not in "*?":
+        i += 1
+    return pattern[:i]
+
+
+def expand_wildcard_terms(spark: SparkSession, index_dir, pattern: str,
+                          cap: int = MAX_PREFIX_EXPANSIONS) -> list[str]:
+    """Dictionary expansion for an ES ``wildcard`` pattern over the
+    [a-z0-9] term alphabet: ``*`` matches any run (incl. empty), ``?``
+    exactly one char. The scan predicate is the JVM ``LIKE`` translation
+    (``*``→``%``, ``?``→``_`` — no escaping needed, the validated
+    alphabet contains neither ``%`` nor ``_``); any literal prefix
+    before the first wildcard additionally pushes a term range to the
+    parquet scan, so `pre*`-shaped patterns prune row groups exactly
+    like Q12 prefixes, while leading-wildcard patterns degrade to the
+    full (still smallest-table) dictionary scan — the same cost shape
+    Lucene documents for its wildcard automata."""
+    p = pattern.strip().lower()
+    if not p or any(c not in _TERM_CHARS + "*?" for c in p):
+        raise ValueError(f"wildcard pattern must be a non-empty "
+                         f"[a-z0-9*?]+ string, got {pattern!r}")
+    if all(c in "*?" for c in p):
+        raise ValueError("wildcard pattern needs >=1 literal character "
+                         f"(ES rejects pure-wildcard too), got {pattern!r}")
+    like = p.replace("*", "%").replace("?", "_")
+    cond = F.col("term").like(like)
+    pfx = _wildcard_literal_prefix(p)
+    if pfx:
+        cond = ((F.col("term") >= pfx)
+                & (F.col("term") < _prefix_hi(pfx)) & cond)
+    return _expand_dict_terms(spark, index_dir, cond, cap)
+
+
+def search_wildcard(spark: SparkSession, index_dir, queries: DataFrame,
+                    k: int = TOP_K, cap: int = MAX_PREFIX_EXPANSIONS,
+                    n_ranges: int | None = None) -> DataFrame:
+    """BM25 top-k for wildcard term queries: each row of ``queries`` is
+    (query_id, wpattern); the pattern expands against the dictionary
+    (:func:`expand_wildcard_terms`) and the expansion scores as a
+    normal BM25 disjunction through the standard engine path
+    (rewrite=scoring_boolean — the same declared choice as
+    :func:`search_prefix`; ES's constant_score rewrite discards
+    ranking information)."""
+    qrows = queries.select("query_id", "wpattern").collect()
+    expanded = [(int(r["query_id"]),
+                 " ".join(expand_wildcard_terms(spark, index_dir,
+                                                r["wpattern"], cap)))
+                for r in qrows]
+    qdf = spark.createDataFrame(expanded, "query_id long, qtext string")
+    return search_topk(spark, index_dir, qdf, k=k, n_ranges=n_ranges)
+
+
+def _regex_literal_prefix(p: str) -> str:
+    """Mandatory literal prefix of a regex, for term-range pushdown.
+
+    Conservative by construction: a top-level alternation or any
+    backslash escape disables the prefix entirely; otherwise the prefix
+    is the leading run of plain [a-z0-9] literals, minus the last one
+    if a quantifier (``* ? + {``) makes it optional/repeatable. A
+    shorter-than-possible prefix only costs pruning, never correctness
+    — the anchored regex itself is re-checked on every scanned term."""
+    if "\\" in p:
+        return ""
+    depth = 0
+    for c in p:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return ""
+    i = 0
+    while i < len(p) and p[i] in _TERM_CHARS:
+        i += 1
+    if i < len(p) and p[i] in "*?+{":
+        i -= 1
+    return p[:max(i, 0)]
+
+
+def expand_regexp_terms(spark: SparkSession, index_dir, pattern: str,
+                        cap: int = MAX_PREFIX_EXPANSIONS) -> list[str]:
+    """Dictionary expansion for an ES ``regexp`` term query. Matching is
+    whole-term (Lucene regexps are implicitly anchored): the scan
+    predicate is JVM ``RLIKE '^(?:pattern)$'``. Patterns must stay in
+    the Java-regex subset (validated driver-side with ``re.compile`` to
+    fail fast; the harness twin additionally pins the tested subset to
+    RE2-compatible syntax). A mandatory literal prefix, when one can be
+    proven (:func:`_regex_literal_prefix`), pushes a term range to the
+    parquet scan like Q12/Q15."""
+    p = pattern.strip().lower()
+    if not p:
+        raise ValueError("regexp pattern must be non-empty")
+    try:
+        re.compile(p)
+    except re.error as e:
+        raise ValueError(f"invalid regexp pattern {pattern!r}: {e}") from e
+    cond = F.col("term").rlike(f"^(?:{p})$")
+    pfx = _regex_literal_prefix(p)
+    if pfx:
+        cond = ((F.col("term") >= pfx)
+                & (F.col("term") < _prefix_hi(pfx)) & cond)
+    return _expand_dict_terms(spark, index_dir, cond, cap)
+
+
+def search_regexp(spark: SparkSession, index_dir, queries: DataFrame,
+                  k: int = TOP_K, cap: int = MAX_PREFIX_EXPANSIONS,
+                  n_ranges: int | None = None) -> DataFrame:
+    """BM25 top-k for regexp term queries: each row of ``queries`` is
+    (query_id, rpattern); whole-term regex expansion
+    (:func:`expand_regexp_terms`), scored as a BM25 disjunction through
+    the standard engine path (rewrite=scoring_boolean)."""
+    qrows = queries.select("query_id", "rpattern").collect()
+    expanded = [(int(r["query_id"]),
+                 " ".join(expand_regexp_terms(spark, index_dir,
+                                              r["rpattern"], cap)))
+                for r in qrows]
+    qdf = spark.createDataFrame(expanded, "query_id long, qtext string")
+    return search_topk(spark, index_dir, qdf, k=k, n_ranges=n_ranges)
