@@ -1,0 +1,296 @@
+"""ES search-layer operators beyond ranked retrieval (round 7).
+
+aarhus's search surface is Elasticsearch: a real user of that layer
+runs aggregations (facets) alongside hits, paginates with
+``search_after``, boosts recent documents with ``function_score``
+decay, asks for highlighted snippets, and issues ``more_like_this``
+queries [PK — ES DSL; SURVEY §0]. This module is the web-page analog
+of each, built over the engine's own artifacts:
+
+- :func:`search_matches` — the shared seam: the full scored match set
+  (no top-k cut), because ES computes aggs/function_score over ALL
+  matching docs, not the top k.
+- :func:`search_facets` — ``aggs.terms`` over the url host.
+- :func:`search_function_score` — multiplicative exp-decay on
+  ``warc_ts`` (ES ``exp`` decay function, offset=0).
+- :func:`search_page` — keyset pagination on (score desc, docid asc),
+  ES ``search_after``.
+- :func:`search_highlight` — the ES *plain* highlighter analog: the
+  stored text of each top-k hit is re-analyzed at query time and a
+  token window around the first match is returned with ``<em>`` marks.
+- :func:`more_like_this` — tf·idf term selection from a seed doc,
+  scored as a standard BM25 disjunction, seed excluded.
+
+Everything stays JVM-side (built-in column functions); the only
+driver-side work is per-query term selection for MLT (one indexed
+lookup + a tiny dictionary scan — the same shape as the Q12-Q16
+dictionary rewrites).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from math import log
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import TOP_K
+from ..textops import tokenize
+from .build import IndexPaths
+from .search import (RESULT_SCHEMA, _as_dirs, load_stats_multi, search_taat,
+                     search_topk)
+
+# url host — same expression in the DuckDB twin (harness)
+HOST_RE = r"^https?://([^/]+)"
+
+
+def search_matches(spark: SparkSession, index_dir, queries: DataFrame,
+                   **bool_kwargs) -> DataFrame:
+    """All matching (query_id, docid, score) for the query set — the
+    TAAT engine path without the final top-k window. Bool-query kwargs
+    (require_all / min_should_match / must_qtext / neg_qtext columns)
+    pass straight through to :func:`search_taat`; tombstoned docs are
+    already excluded there. The result is shuffle-bounded by the
+    postings of the query terms — the same bound as scored retrieval."""
+    return search_taat(spark, index_dir, queries, return_matches=True,
+                       **bool_kwargs)
+
+
+def _doc_meta(spark: SparkSession, index_dir) -> DataFrame:
+    """(docid, url, dl, warc_ts) across a chain — the doclens sink S4.
+    In a chain, later dirs win on docid (re-crawl overwrite), matching
+    the tombstone semantics: keep the row from the LAST dir that has
+    the docid."""
+    dirs = _as_dirs(index_dir)
+    meta = None
+    for i, d in enumerate(dirs):
+        piece = (spark.read.parquet(IndexPaths(d).doclens)
+                 .withColumn("__gen", F.lit(i)))
+        meta = piece if meta is None else meta.unionByName(piece)
+    if len(dirs) == 1:
+        return meta.drop("__gen")
+    w = Window.partitionBy("docid").orderBy(F.desc("__gen"))
+    return (meta.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn", "__gen"))
+
+
+def search_facets(spark: SparkSession, index_dir, queries: DataFrame,
+                  n_buckets: int = 10, bucket_regex: str = HOST_RE,
+                  **bool_kwargs) -> DataFrame:
+    """ES ``aggs: {terms: {field: host}}`` alongside a query: bucket
+    ALL matching docs by a url-derived key (``bucket_regex`` group 1 —
+    host by default), count per bucket, keep the top ``n_buckets``
+    buckets per query by (doc_count desc, bucket asc) — ES's terms-agg
+    ordering with its deterministic key tiebreak.
+
+    Plan shape: matched (query_id, docid, score) equi-joins the doclens
+    sink on docid (both sides large at scale → shuffle join on the
+    docid key, AQE-eligible), then one hash aggregation and a tiny
+    per-query window over bucket counts. Returns
+    (query_id, bucket, doc_count, brank)."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select(
+        "docid", F.regexp_extract("url", bucket_regex, 1).alias("bucket"))
+    counts = (matched.join(meta, "docid")
+              .groupBy("query_id", "bucket")
+              .agg(F.count("*").alias("doc_count")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_count"), F.asc("bucket"))
+    return (counts.withColumn("brank", F.row_number().over(w).cast("long"))
+            .filter(F.col("brank") <= n_buckets)
+            .select("query_id", "bucket", "doc_count", "brank"))
+
+
+def search_function_score(spark: SparkSession, index_dir,
+                          queries: DataFrame, k: int = TOP_K,
+                          origin: str = "2026-01-01 00:00:00",
+                          scale_days: float = 30.0,
+                          decay: float = 0.5,
+                          **bool_kwargs) -> DataFrame:
+    """ES ``function_score`` with an ``exp`` decay on ``warc_ts``
+    (multiply mode): final = bm25 · decay^(|ts − origin| / scale),
+    i.e. ES's exp decay with offset 0 — evaluated over ALL matching
+    docs, then top-k, exactly as ES rescoring semantics require (a
+    low-BM25 but recent doc can enter the top k). The decay is one
+    JVM column expression on the matched set joined with doclens —
+    no extra decode, no Python."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select("docid", "warc_ts")
+    age = (F.abs(F.unix_timestamp("warc_ts")
+                 - F.unix_timestamp(F.lit(origin))) / F.lit(86400.0))
+    mult = F.pow(F.lit(float(decay)), age / F.lit(float(scale_days)))
+    scored = (matched.join(meta, "docid")
+              .withColumn("score", F.col("score") * mult))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))
+
+
+def search_page(spark: SparkSession, index_dir, queries: DataFrame,
+                page_size: int = TOP_K, after: DataFrame | None = None,
+                round_to: int | None = None, **bool_kwargs) -> DataFrame:
+    """ES ``search_after`` keyset pagination on the deterministic sort
+    key (score desc, docid asc). ``after`` is (query_id, after_score,
+    after_docid) — the sort key of the LAST hit of the previous page;
+    rows with no cursor for their query start at page 1. Keyset, not
+    offset: the filter prunes before the per-query window, so deep
+    pages never rank what earlier pages already returned — the same
+    reason ES deprecated from+size for deep paging.
+
+    ``round_to`` ranks and compares on round(score, round_to) instead
+    of the raw double — the sort-key choice the harness twin uses so
+    an FP-summation-order difference can never flip a page boundary."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    key = (F.round(F.col("score"), round_to) if round_to is not None
+           else F.col("score"))
+    matched = matched.withColumn("__key", key)
+    if after is not None:
+        matched = (
+            matched.join(F.broadcast(after), "query_id", "left")
+            .filter(F.col("after_score").isNull()
+                    | (F.col("__key") < F.col("after_score"))
+                    | ((F.col("__key") == F.col("after_score"))
+                       & (F.col("docid") > F.col("after_docid"))))
+            .drop("after_score", "after_docid"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("__key"),
+                                               F.asc("docid"))
+    return (matched.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= page_size)
+            .select("query_id", "rank", "docid",
+                    F.col("__key").alias("score")))
+
+
+def search_highlight(spark: SparkSession, index_dir, queries: DataFrame,
+                     docs: DataFrame, k: int = TOP_K,
+                     window: int = 4, n_ranges: int | None = None,
+                     round_to: int | None = None) -> DataFrame:
+    """ES *plain*-highlighter analog over the top-k hits: re-analyze
+    each hit's stored text at query time (exactly what ES's plain
+    highlighter does — it re-runs the analyzer on the field text) and
+    return one snippet: the ±``window`` token context around the FIRST
+    occurrence of any analyzed query term, matched tokens wrapped in
+    ``<em>…</em>``.
+
+    ``docs`` is a (url, text) source in the pages shape; hits join it
+    through the doclens docmap. The whole fragment pipeline is built-in
+    column functions over the k·|queries| hit rows only — tokenize =
+    lower + regexp split (the frozen T(text) for ASCII alnum runs),
+    positions via array_position, snippet via slice + transform +
+    array_join. Returns (query_id, rank, docid, snippet)."""
+    top = search_topk(spark, index_dir, queries, k=k, n_ranges=n_ranges)
+    if round_to is not None:
+        w0 = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", round_to)), F.asc("docid"))
+        top = (top.withColumn("rank", F.row_number().over(w0)))
+    meta = _doc_meta(spark, index_dir).select("docid", "url")
+    from .search import analyze_queries
+    qarr = (analyze_queries(queries)
+            .groupBy("query_id")
+            .agg(F.array_sort(F.collect_set("term")).alias("qterms")))
+    hit = (top.join(meta, "docid")
+           .join(docs.select("url", "text"), "url")
+           .join(F.broadcast(qarr), "query_id"))
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: (t != F.lit("")) & (F.length(t) <= F.lit(64)))
+    hit = hit.withColumn("toks", toks)
+    # first (1-based) position of any query term; hits always match ≥1
+    # positive term, so the min is well-defined on the disjunctive path
+    firstpos = F.array_min(F.filter(
+        F.transform(F.col("qterms"),
+                    lambda t: F.array_position(F.col("toks"), t)),
+        lambda p: p > 0))
+    hit = hit.withColumn("fp", firstpos.cast("int"))
+    start = F.greatest(F.lit(1), F.col("fp") - F.lit(window))
+    length = F.col("fp") - start + F.lit(window) + F.lit(1)
+    frag = F.slice(F.col("toks"), start, length)
+    marked = F.transform(
+        frag,
+        lambda t: F.when(F.array_contains(F.col("qterms"), t),
+                         F.concat(F.lit("<em>"), t, F.lit("</em>")))
+                   .otherwise(t))
+    return (hit.withColumn("snippet", F.array_join(marked, " "))
+            .select("query_id", "rank", "docid", "snippet"))
+
+
+# MLT defaults — ES MoreLikeThis: max_query_terms=25; selection score
+# is tf·idf with idf = ln(1 + N/df) (our declared deterministic
+# variant), ties broken by term asc
+MLT_MAX_QUERY_TERMS = 25
+
+
+def mlt_select_terms(spark: SparkSession, index_dir, seed_text: str,
+                     max_query_terms: int = MLT_MAX_QUERY_TERMS,
+                     min_term_freq: int = 1,
+                     min_doc_freq: int = 1) -> list[str]:
+    """ES MLT "interesting terms" selection from a seed document's
+    text: tokenize with the frozen analyzer, keep terms with
+    tf ≥ min_term_freq and df ≥ min_doc_freq, rank by
+    round(tf·ln(1 + N/df), 9) desc (term asc tiebreak), take
+    max_query_terms — the rounding makes the selection key exactly
+    reproducible across engines (the harness DuckDB twin computes the
+    identical key), so a last-ulp libm difference can never swap the
+    cut-off term. df comes from the dictionary with a ``term IN``
+    pushdown; N from the stats sink. Returns the selected terms
+    sorted."""
+    tf = Counter(tokenize(seed_text))
+    cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cand:
+        return []
+    dirs = _as_dirs(index_dir)
+    n_docs, _, _ = load_stats_multi(dirs)
+    dfm: Counter = Counter()
+    for d in dirs:
+        rows = (spark.read.parquet(IndexPaths(d).dictionary)
+                .select("term", "df")
+                .filter(F.col("term").isin(cand)).collect())
+        for r in rows:
+            dfm[r["term"]] += int(r["df"])
+    scored = [(t, round(tf[t] * log(1.0 + n_docs / dfm[t]), 9))
+              for t in cand if dfm.get(t, 0) >= min_doc_freq]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return sorted(t for t, _ in scored[:max_query_terms])
+
+
+def more_like_this(spark: SparkSession, index_dir, queries: DataFrame,
+                   docs: DataFrame, k: int = TOP_K,
+                   max_query_terms: int = MLT_MAX_QUERY_TERMS,
+                   n_ranges: int | None = None) -> DataFrame:
+    """ES ``more_like_this`` over url-identified seed docs: each row of
+    ``queries`` is (query_id, like_url); the seed's stored text is
+    fetched from ``docs`` (url-pushdown point lookup), its interesting
+    terms selected (:func:`mlt_select_terms`), and the selection scored
+    as a standard BM25 disjunction through the default engine path —
+    with the seed doc itself excluded from the hits (``include: false``,
+    the ES default). Returns (query_id, rank, docid, score) re-ranked
+    after exclusion."""
+    qrows = queries.select("query_id", "like_url").collect()
+    meta = _doc_meta(spark, index_dir).select("docid", "url")
+    plans, seeds = [], []
+    for r in qrows:
+        qid, u = int(r["query_id"]), r["like_url"]
+        srow = docs.filter(F.col("url") == u).select("text").head(1)
+        text = srow[0]["text"] if srow else ""
+        terms = mlt_select_terms(spark, index_dir, text or "",
+                                 max_query_terms)
+        plans.append((qid, " ".join(terms)))
+        seeds.append((qid, u))
+    qdf = spark.createDataFrame(plans, "query_id long, qtext string")
+    seed_df = spark.createDataFrame(seeds, "query_id long, url string")
+    seed_ids = (seed_df.join(meta, "url")
+                .select("query_id", F.col("docid").alias("seed_docid")))
+    # k+1 then exclude-and-rerank: the seed can occupy at most one slot
+    top = search_topk(spark, index_dir, qdf, k=k + 1, n_ranges=n_ranges)
+    kept = (top.join(F.broadcast(seed_ids), "query_id", "left")
+            .filter(F.col("seed_docid").isNull()
+                    | (F.col("docid") != F.col("seed_docid")))
+            .drop("seed_docid"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (kept.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))

@@ -1,0 +1,202 @@
+"""ES aggregations layer (round 7): facets, function_score decay,
+search_after pagination, highlighting, more_like_this — each against
+an independent pure-Python twin over the NumPy oracle index."""
+
+import os
+import re
+from collections import Counter
+from math import log
+
+import pytest
+
+from aarhus_spark import oracle
+from aarhus_spark.operators.build import build_index
+from aarhus_spark.operators.eslayer import (HOST_RE, mlt_select_terms,
+                                            more_like_this, search_facets,
+                                            search_function_score,
+                                            search_matches, search_page,
+                                            search_highlight)
+from aarhus_spark.sources.fixtures import gen_pages, pages_rows
+
+QUERIES = [
+    (0, "the data"),
+    (1, "query2 join11"),
+    (2, "of spark16 merge12"),
+]
+
+
+def _dedup(pdf):
+    """Latest-wins by url with the oracle's tie key, en + nonempty."""
+    pdf = pdf.copy()
+    pdf["_k"] = list(zip(pdf["warc_ts"], pdf["text"].notna(),
+                         pdf["text"].fillna("")))
+    pdf = (pdf.sort_values("_k").groupby("url", as_index=False).last()
+           .drop(columns="_k"))
+    return pdf[(pdf["lang"] == "en") & pdf["text"].astype(bool)]
+
+
+@pytest.fixture(scope="module")
+def eidx(spark, tmpdir_session):
+    pdf = gen_pages(600)
+    out = os.path.join(tmpdir_session, "idx_es")
+    build_index(spark, spark.createDataFrame(pdf), out,
+                n_partitions=4, n_buckets=3, salts=3,
+                max_postings_per_row=150)
+    oidx = oracle.build(pages_rows(pdf))
+    docs = spark.createDataFrame(_dedup(pdf)[["url", "warc_ts", "text"]])
+    return out, oidx, docs, _dedup(pdf)
+
+
+def _all_matches(oidx, qtext):
+    """All matched (docid -> score) — oracle.search with k = corpus."""
+    return {d: s for _, d, s in oracle.search(oidx, qtext, k=oidx.n_docs)}
+
+
+def test_search_matches_equals_oracle(spark, eidx):
+    out, oidx, _, _ = eidx
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    got = {}
+    for r in search_matches(spark, out, qdf).collect():
+        got.setdefault(r["query_id"], {})[r["docid"]] = r["score"]
+    for qid, qtext in QUERIES:
+        assert got.get(qid, {}) == _all_matches(oidx, qtext), qid
+
+
+def test_facets_vs_python_twin(spark, eidx):
+    out, oidx, _, _ = eidx
+    host_re = re.compile(HOST_RE)
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_facets(spark, out, qdf, n_buckets=5)
+    got = sorted((r["query_id"], r["brank"], r["bucket"], r["doc_count"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        counts = Counter(host_re.match(oidx.urls[d]).group(1)
+                         for d in _all_matches(oidx, qtext))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        exp.extend((qid, i + 1, h, c) for i, (h, c) in enumerate(top))
+    assert got == sorted(exp)
+    assert len(got) > 0
+
+
+def test_function_score_recency_decay(spark, eidx):
+    out, oidx, _, ddf = eidx
+    # fixture timestamps spread over ~600 s (+1 day for re-crawled
+    # dups), so a sharp scale makes the decay actually load-bearing
+    origin, scale_days, decay = "2026-01-01 00:00:00", 0.01, 0.5
+    import datetime as dt
+    o = dt.datetime(2026, 1, 1)
+    ts_by_url = dict(zip(ddf["url"], ddf["warc_ts"]))
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_function_score(spark, out, qdf, k=10, origin=origin,
+                                scale_days=scale_days, decay=decay)
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        adj = {}
+        for d, s in _all_matches(oidx, qtext).items():
+            age = abs((ts_by_url[oidx.urls[d]] - o).total_seconds()) / 86400.0
+            adj[d] = s * decay ** (age / scale_days)
+        top = sorted(adj.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        exp.extend((qid, i + 1, d, s) for i, (d, s) in enumerate(top))
+    exp = sorted(exp)
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], rel=1e-12)
+    # the decay must actually reorder vs plain BM25 for at least one query
+    from aarhus_spark.operators.search import search_taat
+    plain = sorted((r["query_id"], r["rank"], r["docid"])
+                   for r in search_taat(spark, out, qdf, k=10).collect())
+    assert plain != [g[:3] for g in got], "decay should reorder something"
+
+
+def test_search_after_pagination(spark, eidx):
+    out, oidx, _, _ = eidx
+    # queries with >= 20 matches (head terms)
+    qs = [(0, "the data"), (1, "of the")]
+    qdf = spark.createDataFrame(qs, "query_id long, qtext string")
+    p1 = search_page(spark, out, qdf, page_size=10, round_to=6)
+    rows1 = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                   for r in p1.collect())
+    after = spark.createDataFrame(
+        [(q, s, d) for q, rk, d, s in rows1 if rk == 10],
+        "query_id long, after_score double, after_docid long")
+    p2 = search_page(spark, out, qdf, page_size=10, after=after, round_to=6)
+    rows2 = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                   for r in p2.collect())
+    # python twin: rounded-key ranking of the full match set
+    exp1, exp2 = [], []
+    for qid, qtext in qs:
+        ranked = sorted(((round(s, 6), d)
+                         for d, s in _all_matches(oidx, qtext).items()),
+                        key=lambda x: (-x[0], x[1]))
+        assert len(ranked) >= 20, qtext
+        exp1.extend((qid, i + 1, d, s) for i, (s, d) in enumerate(ranked[:10]))
+        exp2.extend((qid, i + 1, d, s)
+                    for i, (s, d) in enumerate(ranked[10:20]))
+    assert rows1 == sorted(exp1)
+    assert rows2 == sorted(exp2)
+    assert not ({(q, d) for q, _, d, _ in rows1}
+                & {(q, d) for q, _, d, _ in rows2})
+
+
+def test_highlight_snippets(spark, eidx):
+    out, oidx, docs, _ = eidx
+    from aarhus_spark.textops import tokenize
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_highlight(spark, out, qdf, docs, k=5, window=3)
+    rows = res.collect()
+    assert len(rows) > 0
+    qterms = {qid: set(tokenize(qtext)) for qid, qtext in QUERIES}
+    em = re.compile(r"<em>([a-z0-9]+)</em>")
+    for r in rows:
+        qid, d, snip = r["query_id"], r["docid"], r["snippet"]
+        marked = em.findall(snip)
+        assert marked, f"snippet without <em>: {snip!r}"
+        assert set(marked) <= qterms[qid]
+        # snippet tokens == the contiguous window around the FIRST match
+        toks = oidx.tokens[d]
+        first = min(i for i, t in enumerate(toks) if t in qterms[qid])
+        lo = max(0, first - 3)
+        want = toks[lo:first + 4]
+        plain = [t for t in
+                 re.split(r" ", snip.replace("<em>", "").replace("</em>", ""))
+                 if t]
+        assert plain == want, (snip, want)
+        # every query-term occurrence inside the window is marked
+        assert marked == [t for t in want if t in qterms[qid]]
+
+
+def test_mlt_selection_and_search(spark, eidx):
+    out, oidx, docs, _ = eidx
+    seeds = [(0, oidx.urls[5]), (1, oidx.urls[42])]
+
+    def twin(docid, mqt=25):
+        tf = Counter(oidx.tokens[docid])
+        scored = [(t, round(c * log(1.0 + oidx.n_docs / oidx.df[t]), 9))
+                  for t, c in tf.items()]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return sorted(t for t, _ in scored[:mqt])
+
+    # term selection matches the python twin
+    for qid, u in seeds:
+        d = oidx.urls.index(u)
+        text = " ".join(oidx.tokens[d])
+        assert mlt_select_terms(spark, out, text) == twin(d)
+
+    qdf = spark.createDataFrame(seeds, "query_id long, like_url string")
+    res = more_like_this(spark, out, qdf, docs, k=10)
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                 for r in res.collect())
+    exp = []
+    for qid, u in seeds:
+        d = oidx.urls.index(u)
+        ranked = oracle.search(oidx, " ".join(twin(d)), k=oidx.n_docs)
+        kept = [(dd, s) for _, dd, s in ranked if dd != d][:10]
+        exp.extend((qid, i + 1, dd, s) for i, (dd, s) in enumerate(kept))
+    assert got == sorted(exp)
+    # the seed doc itself never appears
+    for qid, u in seeds:
+        d = oidx.urls.index(u)
+        assert (qid, d) not in {(q, dd) for q, _, dd, _ in got}
