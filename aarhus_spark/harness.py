@@ -149,24 +149,29 @@ def _rerank_rounded(res: DataFrame, k: int = 10) -> DataFrame:
 
 def q_bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 S1-S5, T1-T8, Q1-Q6: the complete engine, end to end,
-    through the DEFAULT query path — chunk-parallel WAND over docid
-    ranges (search_topk with a forced fan-out; at sf0.01 the auto
-    heuristic would collapse to one range, which q_bm25_topk_engine_single
-    covers separately)."""
-    from .operators.search import search_topk
+    through BOTH WAND execution paths, tagged and unioned (round-7
+    fold to hold the 50-entry cap): path='ranges' is the DEFAULT
+    chunk-parallel fan-out over docid ranges (search_topk, forced
+    n_ranges=5 — at sf0.01 the auto heuristic would collapse to one
+    range); path='single' is the single-group fast path. Both fully
+    ranked against the same DuckDB twin; bit-equality between the two
+    paths is additionally pytest-asserted."""
+    from .operators.search import search_topk, search_wand
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
-    return _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=5))
+    rng = _rerank_rounded(search_topk(spark, idx, qdf, k=20, n_ranges=5)
+                          ).select(F.lit("ranges").alias("path"), "*")
+    sgl = _rerank_rounded(search_wand(spark, idx, qdf, k=20)
+                          ).select(F.lit("single").alias("path"), "*")
+    return rng.unionByName(sgl)
 
 
-def q_bm25_topk_engine_single(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 single-group WAND — the small-index fast path search_topk
-    falls back to when one range suffices; driver-verified against the
-    same oracle as the chunk-parallel entries."""
-    from .operators.search import search_wand
-    idx = _ensure_index(spark, sf_dir)
-    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
-    return _rerank_rounded(search_wand(spark, idx, qdf, k=20))
+def _tagged_union_oracle(inner: str, tags: list[str],
+                         tag_col: str = "path") -> str:
+    """Duplicate a full oracle statement under N tags (DuckDB allows
+    CTEs inside parenthesized subqueries)."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS {tag_col}, * FROM ({inner})" for t in tags)
 
 
 # common DuckDB prefix: documents → pages shape → frozen prepare +
@@ -858,44 +863,45 @@ GROUP BY o_orderstatus
 
 
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3+J4 in one result (driver-cap consolidation, round 4): left
-    semi (customers with ≥1 'F' order) and left anti (customers with no
-    orders — the resume/delta idiom), tagged and unioned."""
+    """J3+J4+J7 in one result (round-4 then round-7 cap
+    consolidation): left semi (customers with ≥1 'F' order), left anti
+    (customers with no orders — the resume/delta idiom) and the theta
+    (non-equi) join — nation pairs within the same region — tagged and
+    unioned on a common (op, key, attr) string shape. All three
+    constituent operators stay fully value-checked."""
     cust = _t(spark, sf_dir, "customer")
     f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     orders = _t(spark, sf_dir, "orders")
     semi = (cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi")
-            .select(F.lit("semi").alias("op"), "c_custkey",
+            .select(F.lit("semi").alias("op"),
+                    F.col("c_custkey").cast("string").alias("key"),
                     F.col("c_mktsegment").alias("attr")))
     anti = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-            .select(F.lit("anti").alias("op"), "c_custkey",
+            .select(F.lit("anti").alias("op"),
+                    F.col("c_custkey").cast("string").alias("key"),
                     F.col("c_nationkey").cast("string").alias("attr")))
-    return semi.unionByName(anti)
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    theta = (
+        n1.join(n2, (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+                & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")))
+        .select(F.lit("theta").alias("op"),
+                F.col("n1.n_name").alias("key"),
+                F.col("n2.n_name").alias("attr"))
+    )
+    return semi.unionByName(anti).unionByName(theta)
 
 
 SQL_JOIN_SEMI_ANTI = """
-SELECT 'semi' AS op, c_custkey, c_mktsegment AS attr FROM customer
+SELECT 'semi' AS op, CAST(c_custkey AS VARCHAR) AS key, c_mktsegment AS attr
+FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
 UNION ALL
-SELECT 'anti' AS op, c_custkey, CAST(c_nationkey AS VARCHAR) AS attr FROM customer
+SELECT 'anti', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
-"""
-
-
-def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: theta join (non-equi) — nation pairs within the same region."""
-    n1 = _t(spark, sf_dir, "nation").alias("n1")
-    n2 = _t(spark, sf_dir, "nation").alias("n2")
-    return (
-        n1.join(n2, (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
-                & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")))
-        .select(F.col("n1.n_name").alias("nation_a"),
-                F.col("n2.n_name").alias("nation_b"))
-    )
-
-
-SQL_JOIN_THETA = """
-SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+UNION ALL
+SELECT 'theta', n1.n_name, n2.n_name
 FROM nation n1 JOIN nation n2
   ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
 """
@@ -1459,6 +1465,282 @@ SELECT kind, query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# round-7 ES search-layer entries (Q17-Q21, operators/eslayer.py):
+# facets, function_score decay, search_after pagination, highlighting,
+# more_like_this — each over the FULL scored match set where ES
+# semantics require it
+# ---------------------------------------------------------------------------
+
+# harness corpus urls are https://testdata.local/<source>/<doc_id>, so
+# the discriminating facet bucket is the source path segment (the host
+# is constant by construction); same regex runs in Spark and DuckDB
+FACET_RE = r"^https?://[^/]+/([^/]+)"
+FACET_BUCKETS = 8
+# exp-decay params: pages_from_documents sets warc_ts = origin +
+# doc_id seconds, so ages span ~0-500 s (sf0.01) — a small scale makes
+# the decay genuinely reorder the top k
+FS_ORIGIN = "2026-01-01 00:00:00"
+FS_SCALE_DAYS = 0.002
+FS_DECAY = 0.5
+PAGE_SIZE = 10
+HL_WINDOW = 4
+MLT_SEEDS = 2
+
+
+def _disjunctive_scored_ctes(queries: list[tuple[int, str]]) -> str:
+    """corpus + analyzed query terms + full-match-set BM25 `scored`
+    CTE (no top-k cut) — the shared front half of the ES-layer
+    oracles; the scoring expression is character-identical to the
+    other BM25 twins."""
+    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in queries)
+    return f"""{_CORPUS_CTES_DUCK}
+, qraw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+  FROM (VALUES {vals}) AS q(query_id, qtext)
+), qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '{TOKEN_SQL_RE}')) AS term
+    FROM qraw) z WHERE length(term) <= 64
+), scored AS (
+  SELECT q.query_id, tf.docid,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfs d USING (term)
+  JOIN dl USING (docid)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.docid
+)"""
+
+
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: ES terms aggregation alongside a search — ALL matching
+    docs bucketed by the url's source segment, top buckets per query
+    by (doc_count desc, bucket asc). Counting only: no FP in the
+    compared values."""
+    from .operators.eslayer import search_facets
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    return search_facets(spark, idx, qdf, n_buckets=FACET_BUCKETS,
+                         bucket_regex=FACET_RE)
+
+
+def _facets_oracle_sql() -> str:
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, bk AS (
+  SELECT m.query_id, regexp_extract(i.url, '{FACET_RE}', 1) AS bucket
+  FROM (SELECT DISTINCT query_id, docid FROM scored) m
+  JOIN ids i USING (docid)
+), counts AS (
+  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS doc_count
+  FROM bk GROUP BY query_id, bucket
+)
+SELECT query_id, bucket, doc_count, brank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY doc_count DESC, bucket) AS BIGINT) AS brank
+  FROM counts) z
+WHERE brank <= {FACET_BUCKETS}
+"""
+
+
+def q_bm25_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: function_score exp decay on warc_ts (multiply mode) over
+    ALL matching docs, then top-k — the decayed ranking differs from
+    plain BM25 by construction (the corpus spreads warc_ts by doc_id
+    seconds and the scale is sharp)."""
+    from .operators.eslayer import search_function_score
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    res = search_function_score(spark, idx, qdf, k=20, origin=FS_ORIGIN,
+                                scale_days=FS_SCALE_DAYS, decay=FS_DECAY)
+    return _rerank_rounded(res)
+
+
+def _function_score_oracle_sql(k: int = 10) -> str:
+    # warc_ts − origin = doc_id seconds by construction
+    # (sources/io.py pages_from_documents), and the url's last path
+    # segment IS doc_id — so the decay re-derives from the url alone
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, adj AS (
+  SELECT s.query_id, s.docid,
+         s.score * power({FS_DECAY!r},
+             (CAST(split_part(i.url, '/', 5) AS BIGINT) / 86400.0)
+             / {FS_SCALE_DAYS!r}) AS score
+  FROM scored s JOIN ids i USING (docid)
+)
+SELECT query_id, rank, docid, score_r FROM (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM adj) z
+WHERE rank <= {k}
+"""
+
+
+def q_bm25_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: search_after keyset pagination — page 1, then page 2 from
+    page 1's last-hit cursor (the rounded sort key, so the DuckDB twin
+    paginates identically); queries whose page 1 is not full get no
+    cursor and therefore no page 2, on both sides."""
+    from .operators.eslayer import search_page
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    p1 = search_page(spark, idx, qdf, page_size=PAGE_SIZE, round_to=6)
+    cur = (p1.filter(F.col("rank") == PAGE_SIZE)
+           .select("query_id", F.col("score").alias("after_score"),
+                   F.col("docid").alias("after_docid")))
+    qdf2 = qdf.join(cur, "query_id", "left_semi")
+    p2 = search_page(spark, idx, qdf2, page_size=PAGE_SIZE, after=cur,
+                     round_to=6)
+    one = p1.select(F.lit(1).alias("page"), "query_id",
+                    F.col("rank").cast("long").alias("rank"), "docid",
+                    F.col("score").alias("score_r"))
+    two = p2.select(F.lit(2).alias("page"), "query_id",
+                    F.col("rank").cast("long").alias("rank"), "docid",
+                    F.col("score").alias("score_r"))
+    return one.unionByName(two)
+
+
+def _page_after_oracle_sql() -> str:
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, ranked AS (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rn
+  FROM scored
+)
+SELECT CAST(1 AS INTEGER) AS page, query_id, rn AS rank, docid, score_r
+FROM ranked WHERE rn <= {PAGE_SIZE}
+UNION ALL
+SELECT CAST(2 AS INTEGER), query_id, rn - {PAGE_SIZE}, docid, score_r
+FROM ranked WHERE rn > {PAGE_SIZE} AND rn <= {2 * PAGE_SIZE}
+"""
+
+
+def q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: plain-highlighter snippets for the top-10 hits — the hit's
+    stored text re-analyzed at query time, ±{window} token context
+    around the first matching term, matches <em>-wrapped. The snippet
+    string must match the DuckDB twin byte-for-byte."""
+    from .operators.eslayer import search_highlight
+    from .sources.io import pages_from_documents
+    idx = _ensure_index(spark, sf_dir)
+    docs = pages_from_documents(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    res = search_highlight(spark, idx, qdf, docs, k=20, window=HL_WINDOW,
+                           round_to=6)
+    return (res.filter(F.col("rank") <= 10)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "docid", "snippet"))
+
+
+def _highlight_oracle_sql(k: int = 10) -> str:
+    w = HL_WINDOW
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, qlist AS (
+  SELECT query_id, list(term ORDER BY term) AS terms
+  FROM qterms GROUP BY query_id
+), hits AS (
+  SELECT query_id, docid, rank FROM (
+    SELECT query_id, docid,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+    FROM scored) z
+  WHERE rank <= {k}
+), htok AS (
+  SELECT h.query_id, h.rank, h.docid, ql.terms,
+         list_filter(regexp_extract_all(lower(i.text), '{TOKEN_SQL_RE}'),
+                     t -> length(t) <= 64) AS toks
+  FROM hits h
+  JOIN ids i USING (docid)
+  JOIN qlist ql USING (query_id)
+), fpp AS (
+  SELECT *, list_min(list_filter(
+             list_transform(terms, t -> list_position(toks, t)),
+             p -> p > 0)) AS fp
+  FROM htok
+)
+SELECT query_id, rank, docid,
+       array_to_string(list_transform(
+         list_slice(toks, greatest(1, fp - {w}), fp + {w}),
+         t -> CASE WHEN list_contains(terms, t)
+                   THEN '<em>' || t || '</em>' ELSE t END), ' ') AS snippet
+FROM fpp
+"""
+
+
+def q_bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: more_like_this — seeds are the {MLT_SEEDS} smallest
+    'en' doc_ids (a deterministic rule both engines compute), terms
+    selected by round(tf·ln(1+N/df), 9) desc / term asc capped at 25,
+    scored as a BM25 disjunction with the seed excluded."""
+    from .operators.eslayer import more_like_this
+    from .sources.io import pages_from_documents
+    idx = _ensure_index(spark, sf_dir)
+    docs = pages_from_documents(spark, sf_dir)
+    seeds_rows = (_t(spark, sf_dir, "documents")
+                  .filter((F.col("lang") == "en") & F.col("text").isNotNull()
+                          & (F.length("text") > 0))
+                  .orderBy("doc_id").limit(MLT_SEEDS)
+                  .select(F.concat(F.lit("https://testdata.local/"),
+                                   F.col("source"), F.lit("/"),
+                                   F.col("doc_id").cast("string"))
+                          .alias("like_url"))
+                  .collect())
+    seeds = [(i, r["like_url"]) for i, r in enumerate(seeds_rows)]
+    qdf = spark.createDataFrame(seeds, "query_id long, like_url string")
+    return _rerank_rounded(more_like_this(spark, idx, qdf, docs, k=20))
+
+
+def _mlt_oracle_sql(k: int = 10) -> str:
+    return f"""{_CORPUS_CTES_DUCK}
+, seedd AS (
+  SELECT doc_id, source FROM documents
+  WHERE lang = 'en' AND text IS NOT NULL AND length(text) > 0
+  ORDER BY doc_id LIMIT {MLT_SEEDS}
+), seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS query_id,
+         concat('https://testdata.local/', source, '/',
+                CAST(doc_id AS VARCHAR)) AS url
+  FROM seedd
+), seed_ids AS (
+  SELECT s.query_id, i.docid FROM seeds s JOIN ids i USING (url)
+), seed_tf AS (
+  SELECT si.query_id, tf.term, tf.tf
+  FROM seed_ids si JOIN tf ON tf.docid = si.docid
+), mlt_sel AS (
+  SELECT query_id, term FROM (
+    SELECT st.query_id, st.term,
+           row_number() OVER (PARTITION BY st.query_id
+                ORDER BY round(st.tf * ln(1.0 + s.n * 1.0 / d.df), 9) DESC,
+                         st.term) AS rn
+    FROM seed_tf st JOIN dfs d USING (term) CROSS JOIN stats s) z
+  WHERE rn <= 25
+), scored AS (
+  SELECT q.query_id, tf.docid,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN mlt_sel q USING (term)
+  JOIN dfs d USING (term)
+  JOIN dl USING (docid)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.docid
+)
+SELECT query_id, rank, docid, score_r FROM (
+  SELECT sc.query_id, sc.docid, round(sc.score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY sc.query_id
+              ORDER BY round(sc.score, 6) DESC, sc.docid) AS BIGINT) AS rank
+  FROM scored sc
+  LEFT JOIN seed_ids si
+    ON si.query_id = sc.query_id AND si.docid = sc.docid
+  WHERE si.docid IS NULL) z
+WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # round-7 registry folds (hold the 50-entry cap while adding Q11/Q12):
 # J1+J2 and W2+W3 each collapse into one entry whose result carries
 # BOTH constituent operators' values — still fully oracle-checked
@@ -1533,7 +1815,6 @@ WHERE rnk <= 3
 
 QUERIES: dict[str, callable] = {
     "bm25_topk_engine": q_bm25_topk_engine,
-    "bm25_topk_engine_single": q_bm25_topk_engine_single,
     "bm25_brute_sql": q_bm25_brute_sql,
     "bm25_phrase": q_bm25_phrase,
     "bm25_phrase_slop": q_bm25_phrase_slop,
@@ -1546,11 +1827,15 @@ QUERIES: dict[str, callable] = {
     "bm25_bool": q_bm25_bool,
     "bm25_multi_match": q_bm25_multi_match,
     "bm25_prefix_fuzzy": q_bm25_prefix_fuzzy,
+    "search_facets": q_search_facets,
+    "bm25_function_score": q_bm25_function_score,
+    "bm25_page_after": q_bm25_page_after,
+    "bm25_highlight": q_bm25_highlight,
+    "bm25_more_like_this": q_bm25_more_like_this,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "join_bcast_smj": q_join_bcast_smj,
     "join_semi_anti": q_join_semi_anti,
-    "join_theta": q_join_theta,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_quantiles": q_agg_quantiles,
     "agg_cube": q_agg_cube,
@@ -1561,8 +1846,8 @@ QUERIES: dict[str, callable] = {
 }
 
 ORACLES: dict[str, str] = {
-    "bm25_topk_engine": _bm25_oracle_sql(),
-    "bm25_topk_engine_single": _bm25_oracle_sql(),
+    "bm25_topk_engine": _tagged_union_oracle(_bm25_oracle_sql(),
+                                             ["ranges", "single"]),
     "bm25_brute_sql": _BRUTE_DUCK_SQL,
     "bm25_phrase": _phrase_oracle_sql(),
     "bm25_phrase_slop": _phrase_slop_oracle_sql(),
@@ -1581,11 +1866,15 @@ ORACLES: dict[str, str] = {
         must_queries=[(q, m) for q, t, n, m in BOOL_HARNESS_QUERIES]),
     "bm25_multi_match": _multi_match_oracle_sql(),
     "bm25_prefix_fuzzy": _prefix_fuzzy_oracle_sql(),
+    "search_facets": _facets_oracle_sql(),
+    "bm25_function_score": _function_score_oracle_sql(),
+    "bm25_page_after": _page_after_oracle_sql(),
+    "bm25_highlight": _highlight_oracle_sql(),
+    "bm25_more_like_this": _mlt_oracle_sql(),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
     "join_bcast_smj": SQL_JOIN_BCAST_SMJ,
     "join_semi_anti": SQL_JOIN_SEMI_ANTI,
-    "join_theta": SQL_JOIN_THETA,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "agg_quantiles": SQL_AGG_QUANTILES,
     "agg_cube": SQL_AGG_CUBE,

@@ -302,6 +302,29 @@ SELECT qid, rank, vec_id, cos_r FROM r WHERE rank <= 10
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_text_langid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis fold (round-7 cap consolidation): language-ID and
+    quality scoring joined on doc_id — every constituent column still
+    fully value-checked. Inner join: quality_score drops zero-token
+    docs, language_id covers them with stop_ratio 0; the synthetic
+    documents corpus has no zero-token rows, so the join is lossless
+    (and the twin applies the identical join either way)."""
+    li = TS.language_id(_t(spark, sf_dir, "documents"))
+    qs = TS.quality_score(_t(spark, sf_dir, "documents"))
+    return li.join(qs, "doc_id").select(
+        "doc_id", "stop_ratio_r", "predicted", "n_tok", "quality_r")
+
+
+def q_text_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis fold (round-7 cap consolidation): token counting
+    (frozen-regex + whitespace) and document fingerprinting (min
+    shingle hash + prefix hash) joined on doc_id."""
+    tc = TS.token_counts(_t(spark, sf_dir, "documents"))
+    fp = TS.fingerprints(_t(spark, sf_dir, "documents"))
+    return tc.join(fp, "doc_id").select(
+        "doc_id", "n_regex", "n_ws", "fp_min", "fp_prefix")
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.language_id(_t(spark, sf_dir, "documents"))
 
@@ -373,6 +396,16 @@ SELECT doc_id,
        list_min(list_transform(shs, s2 -> {HD('s2')})) AS fp_min,
        {HD('substr(text, 1, 64)')} AS fp_prefix
 FROM s
+"""
+
+SQL_TEXT_LANGID_QUALITY = f"""
+SELECT li.doc_id, li.stop_ratio_r, li.predicted, qs.n_tok, qs.quality_r
+FROM ({SQL_TEXT_LANGID}) li JOIN ({SQL_TEXT_QUALITY}) qs USING (doc_id)
+"""
+
+SQL_TEXT_TOKEN_FINGERPRINT = f"""
+SELECT tc.doc_id, tc.n_regex, tc.n_ws, fp.fp_min, fp.fp_prefix
+FROM ({SQL_TEXT_TOKEN_COUNT}) tc JOIN ({SQL_TEXT_FINGERPRINT}) fp USING (doc_id)
 """
 
 
@@ -573,6 +606,25 @@ def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_stream_to_memory(stream, W.tumbling_counts, name)
 
 
+def q_events_sliding_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+X3 folded (round-7 cap consolidation): sliding-window counts
+    and session-window counts, tagged and unioned on a common
+    (kind, k1, k2, k3, n) string shape — both constituents stay fully
+    value-checked (sliding: k1=win_start, k2=event_type; session:
+    k1=user_id, k2=sess_start, k3=sess_end)."""
+    sl = (W.sliding_counts(_t(spark, sf_dir, "events"))
+          .select(F.lit("sliding").alias("kind"),
+                  F.col("win_start").alias("k1"),
+                  F.col("event_type").alias("k2"),
+                  F.lit("").alias("k3"), "n"))
+    se = (W.session_counts(_t(spark, sf_dir, "events"))
+          .select(F.lit("session").alias("kind"),
+                  F.col("user_id").cast("string").alias("k1"),
+                  F.col("sess_start").alias("k2"),
+                  F.col("sess_end").alias("k3"), "n"))
+    return sl.unionByName(se)
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sliding_counts(_t(spark, sf_dir, "events"))
 
@@ -612,6 +664,14 @@ SELECT user_id,
        strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS sess_end,
        CAST(count(*) AS BIGINT) AS n
 FROM s GROUP BY user_id, sid
+"""
+
+SQL_EVENTS_SLIDING_SESSION = f"""
+SELECT 'sliding' AS kind, win_start AS k1, event_type AS k2, '' AS k3, n
+FROM ({SQL_EVENTS_SLIDING}) sl
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), sess_start, sess_end, n
+FROM ({SQL_EVENTS_SESSION}) se
 """
 
 
@@ -863,16 +923,13 @@ QUERIES2 = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_ivf": q_ann_ivf,
-    "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
-    "text_token_count": q_text_token_count,
-    "text_fingerprint": q_text_fingerprint,
+    "text_langid_quality": q_text_langid_quality,
+    "text_token_fingerprint": q_text_token_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "events_tumbling_stream": q_events_tumbling_stream,
     "events_watermark_stream": q_events_watermark_stream,
     "stream_dedup": q_stream_dedup,
-    "events_sliding": q_events_sliding,
-    "events_session": q_events_session,
+    "events_sliding_session": q_events_sliding_session,
     "scalar_string_url_hash": q_scalar_string_url_hash,
     "scalar_datetime_json": q_scalar_datetime_json,
     "scalar_math_array": q_scalar_math_array,
@@ -890,16 +947,13 @@ ORACLES2 = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_bucket": SQL_ANN_LSH_BUCKET,
     "ann_ivf": SQL_ANN_IVF,
-    "text_langid": SQL_TEXT_LANGID,
-    "text_quality": SQL_TEXT_QUALITY,
-    "text_token_count": SQL_TEXT_TOKEN_COUNT,
-    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_langid_quality": SQL_TEXT_LANGID_QUALITY,
+    "text_token_fingerprint": SQL_TEXT_TOKEN_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "events_tumbling_stream": SQL_EVENTS_TUMBLING,
     "events_watermark_stream": SQL_EVENTS_WATERMARK_STREAM,
     "stream_dedup": SQL_STREAM_DEDUP,
-    "events_sliding": SQL_EVENTS_SLIDING,
-    "events_session": SQL_EVENTS_SESSION,
+    "events_sliding_session": SQL_EVENTS_SLIDING_SESSION,
     "scalar_string_url_hash": SQL_SCALAR_STRING_URL_HASH,
     "scalar_datetime_json": SQL_SCALAR_DATETIME_JSON,
     "scalar_math_array": SQL_SCALAR_MATH_ARRAY,

@@ -37,7 +37,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges",
                                        "wand-single", "phrase", "prefix",
-                                       "phrase-prefix", "multi-match"],
+                                       "phrase-prefix", "multi-match",
+                                       "wildcard", "regexp"],
                     default="wand",
                     help="wand = default dispatcher (chunk-parallel, fan-out "
                          "auto-sized from index stats); wand-ranges forces the "
@@ -47,7 +48,10 @@ def main() -> None:
                          "phrase-prefix = ES match_phrase_prefix (exact "
                          "phrase, trailing token dictionary-expanded, 50-"
                          "expansion cap); multi-match searches a multi-field "
-                         "index root (see --fields/--combine)")
+                         "index root (see --fields/--combine); wildcard "
+                         "treats each qtext as an ES wildcard pattern "
+                         "(`wi*d`, `w?rd`); regexp as a whole-term-anchored "
+                         "regex — both dictionary-expanded like prefix")
     ap.add_argument("--ranges", type=int, default=None,
                     help="override the docid-range fan-out (default: from stats)")
     ap.add_argument("--slop", type=int, default=0,
@@ -91,7 +95,8 @@ def main() -> None:
 
     # flag/mode compatibility: refuse combinations whose semantics the
     # chosen mode does not implement, instead of silently ignoring them
-    if args.mode in ("phrase", "prefix", "phrase-prefix", "multi-match"):
+    if args.mode in ("phrase", "prefix", "phrase-prefix", "multi-match",
+                     "wildcard", "regexp"):
         bad = [n for n, v in [("--require-all", args.require_all),
                               ("--min-should-match", args.min_should_match),
                               ("--must-not", args.must_not),
@@ -102,7 +107,8 @@ def main() -> None:
     if args.mode != "phrase":
         if args.score_mode != "bm25" and args.mode in ("prefix",
                                                        "phrase-prefix",
-                                                       "multi-match"):
+                                                       "multi-match",
+                                                       "wildcard", "regexp"):
             ap.error("--score-mode proximity only applies to phrase "
                      "and wand/taat modes")
         if args.slop:
@@ -154,6 +160,20 @@ def main() -> None:
         from aarhus_spark.operators.search import search_phrase_prefix
         res = search_phrase_prefix(spark, index, qdf, k=args.k,
                                    n_ranges=args.ranges)
+    elif args.mode == "wildcard":
+        from pyspark.sql import functions as F
+        from aarhus_spark.operators.search import search_wildcard
+        res = search_wildcard(spark, index,
+                              qdf.select("query_id",
+                                         F.col("qtext").alias("wpattern")),
+                              k=args.k, n_ranges=args.ranges)
+    elif args.mode == "regexp":
+        from pyspark.sql import functions as F
+        from aarhus_spark.operators.search import search_regexp
+        res = search_regexp(spark, index,
+                            qdf.select("query_id",
+                                       F.col("qtext").alias("rpattern")),
+                            k=args.k, n_ranges=args.ranges)
     elif args.mode == "multi-match":
         from aarhus_spark.operators.multifield import search_multi_match
         fields, boosts = None, {}
