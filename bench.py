@@ -134,6 +134,23 @@ def main() -> None:
     timed("search_phrase_slop_25q",
           lambda: search_phrase(spark, idx_dir, pqdf, slop=2).count())
 
+    # round-7 ES layer: facets + function_score over the FULL match
+    # set of the 50-query flagship set, and highlighted top-10s —
+    # the agg/join/highlight cost on top of scored retrieval
+    from aarhus_spark.operators.eslayer import (search_facets,
+                                                search_function_score,
+                                                search_highlight)
+    timed("search_facets_50q",
+          lambda: search_facets(spark, idx_dir, qdf, n_buckets=8,
+                                bucket_regex=r"^https?://[^/]+/([^/]+)"
+                                ).count())
+    timed("search_fscore_50q",
+          lambda: search_function_score(spark, idx_dir, qdf, k=10,
+                                        scale_days=0.002).count())
+    timed("search_highlight_50q",
+          lambda: search_highlight(spark, idx_dir, qdf, pages,
+                                   k=10, window=4).count())
+
     # X7 compaction: split the corpus into base (even doc_id urls) +
     # delta, then compact the 2-dir chain into one index — the only
     # major operator previously without a tracked bench number

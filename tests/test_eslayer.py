@@ -168,6 +168,29 @@ def test_highlight_snippets(spark, eidx):
         assert marked == [t for t in want if t in qterms[qid]]
 
 
+def test_facets_compose_with_bool_kwargs(spark, eidx):
+    """ES aggs apply to the bool-filtered match set: facets over a
+    query with must_not must bucket only the docs that survive the
+    exclusion."""
+    out, oidx, _, _ = eidx
+    host_re = re.compile(HOST_RE)
+    from aarhus_spark.textops import tokenize
+    qdf = spark.createDataFrame([(0, "the data", "query2")],
+                                "query_id long, qtext string, neg_qtext string")
+    res = search_facets(spark, out, qdf, n_buckets=5)
+    got = sorted((r["brank"], r["bucket"], r["doc_count"])
+                 for r in res.collect())
+    excl = set()
+    for t in tokenize("query2"):
+        if t in oidx.postings:
+            excl.update(oidx.postings[t][0].tolist())
+    matched = set(_all_matches(oidx, "the data")) - excl
+    counts = Counter(host_re.match(oidx.urls[d]).group(1) for d in matched)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    exp = sorted((i + 1, h, c) for i, (h, c) in enumerate(top))
+    assert got == exp and excl, "exclusion must be load-bearing"
+
+
 def test_mlt_selection_and_search(spark, eidx):
     out, oidx, docs, _ = eidx
     seeds = [(0, oidx.urls[5]), (1, oidx.urls[42])]
