@@ -28,8 +28,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Keys absent here (postings_codec_check) are
-    non-SQL-expressible binary-codec ops → rows-only check."""
+    """DuckDB twins. Keys absent here (postings_codec_check — the
+    round-7 fold of the binary-codec sweep + the HLL approx-distinct
+    agg) are non-SQL-expressible ops → rows-only check."""
     from aarhus_spark.harness import ORACLES
     from aarhus_spark.harness_data import ORACLES2
     return {**ORACLES, **ORACLES2}

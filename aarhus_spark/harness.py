@@ -1515,32 +1515,55 @@ def _disjunctive_scored_ctes(queries: list[tuple[int, str]]) -> str:
 
 
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q17: ES terms aggregation alongside a search — ALL matching
-    docs bucketed by the url's source segment, top buckets per query
-    by (doc_count desc, bucket asc). Counting only: no FP in the
-    compared values."""
-    from .operators.eslayer import search_facets
+    """Q17+Q22 (round-7 fold, one tagged union): ES terms aggregation
+    alongside a search — ALL matching docs bucketed by the url's
+    source segment, top buckets per query by (doc_count desc, bucket
+    asc) — plus the date_histogram agg over the same match set
+    (calendar-minute truncation of warc_ts, ES key-asc bucket order).
+    Counting only: no FP in the compared values."""
+    from .operators.eslayer import search_date_histogram, search_facets
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
-    return search_facets(spark, idx, qdf, n_buckets=FACET_BUCKETS,
-                         bucket_regex=FACET_RE)
+    terms = (search_facets(spark, idx, qdf, n_buckets=FACET_BUCKETS,
+                           bucket_regex=FACET_RE)
+             .select(F.lit("terms").alias("facet_kind"), "*"))
+    date = (search_date_histogram(spark, idx, qdf, interval="minute")
+            .select(F.lit("date").alias("facet_kind"), "*"))
+    return terms.unionByName(date)
 
 
 def _facets_oracle_sql() -> str:
+    # warc_ts re-derives from the url's doc_id segment exactly as in
+    # the function_score twin: origin + doc_id seconds (sources/io.py
+    # pages_from_documents); the box and DuckDB both run UTC
     return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, m AS (SELECT DISTINCT query_id, docid FROM scored)
 , bk AS (
   SELECT m.query_id, regexp_extract(i.url, '{FACET_RE}', 1) AS bucket
-  FROM (SELECT DISTINCT query_id, docid FROM scored) m
-  JOIN ids i USING (docid)
+  FROM m JOIN ids i USING (docid)
 ), counts AS (
   SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS doc_count
   FROM bk GROUP BY query_id, bucket
+), dbk AS (
+  SELECT m.query_id,
+         strftime(date_trunc('minute', TIMESTAMP '2026-01-01 00:00:00'
+                  + to_seconds(CAST(split_part(i.url, '/', 5) AS BIGINT))),
+                  '%Y-%m-%d %H:%M:%S') AS bucket
+  FROM m JOIN ids i USING (docid)
+), dcounts AS (
+  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS doc_count
+  FROM dbk GROUP BY query_id, bucket
 )
-SELECT query_id, bucket, doc_count, brank FROM (
+SELECT 'terms' AS facet_kind, query_id, bucket, doc_count, brank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         ORDER BY doc_count DESC, bucket) AS BIGINT) AS brank
   FROM counts) z
 WHERE brank <= {FACET_BUCKETS}
+UNION ALL
+SELECT 'date' AS facet_kind, query_id, bucket, doc_count,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY bucket) AS BIGINT) AS brank
+FROM dcounts
 """
 
 
@@ -1809,6 +1832,53 @@ WHERE rnk <= 3
 """
 
 
+# typos of terms present at every driver sf (query/customer/window/
+# join), plus one with no 2-edit neighborhood — the oracle re-runs the
+# whole suggestion pipeline so ANY fixed list matches by construction,
+# but these guarantee non-vacuous rows at sf0.001
+SUGGEST_WORDS = [(0, "querry"), (1, "custmer"), (2, "dat"),
+                 (3, "jin"), (4, "srt"), (5, "zzqqxx")]
+SUGGEST_EDITS = 2
+SUGGEST_N = 5
+
+
+def q_es_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23: ES term suggester ("did you mean") in ``popular`` mode —
+    dictionary terms within 2 Levenshtein edits of each misspelled
+    word, candidates must beat the word's own df, ranked (distance
+    asc, df desc, term asc). Integer/string values only: no FP."""
+    from .operators.eslayer import suggest_terms
+    idx = _ensure_index(spark, sf_dir)
+    wdf = spark.createDataFrame(SUGGEST_WORDS, "word_id long, word string")
+    return suggest_terms(spark, idx, wdf, max_edits=SUGGEST_EDITS,
+                         n_suggestions=SUGGEST_N, suggest_mode="popular")
+
+
+def _suggest_oracle_sql() -> str:
+    vals = ", ".join(f"({wid}, '{w}')" for wid, w in SUGGEST_WORDS)
+    return f"""{_CORPUS_CTES_DUCK}
+, words AS (
+  SELECT CAST(word_id AS BIGINT) AS word_id, word
+  FROM (VALUES {vals}) AS w(word_id, word)
+), own AS (
+  SELECT w.word_id, w.word, coalesce(d.df, 0) AS own_df
+  FROM words w LEFT JOIN dfs d ON d.term = w.word
+), cand AS (
+  SELECT o.word_id, o.word, d.term,
+         CAST(levenshtein(d.term, o.word) AS BIGINT) AS distance, d.df
+  FROM dfs d, own o
+  WHERE abs(length(d.term) - length(o.word)) <= {SUGGEST_EDITS}
+    AND levenshtein(d.term, o.word) BETWEEN 1 AND {SUGGEST_EDITS}
+    AND d.df > o.own_df
+)
+SELECT word_id, word, srank, term, distance, df FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY word_id
+        ORDER BY distance, df DESC, term) AS BIGINT) AS srank
+  FROM cand) z
+WHERE srank <= {SUGGEST_N}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -1832,6 +1902,7 @@ QUERIES: dict[str, callable] = {
     "bm25_page_after": q_bm25_page_after,
     "bm25_highlight": q_bm25_highlight,
     "bm25_more_like_this": q_bm25_more_like_this,
+    "es_suggest": q_es_suggest,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "join_bcast_smj": q_join_bcast_smj,
@@ -1871,6 +1942,7 @@ ORACLES: dict[str, str] = {
     "bm25_page_after": _page_after_oracle_sql(),
     "bm25_highlight": _highlight_oracle_sql(),
     "bm25_more_like_this": _mlt_oracle_sql(),
+    "es_suggest": _suggest_oracle_sql(),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,
     "join_bcast_smj": SQL_JOIN_BCAST_SMJ,

@@ -862,7 +862,27 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: postings codec integrity (rows-only check, F9)
+# + HLL approx-distinct (A3) — the two weaker rows-only checks, folded
+# into ONE driver entry (round 7, paying for es_suggest's slot): both
+# still execute in full; the union is tagged by `check`
 # ---------------------------------------------------------------------------
+
+def q_engine_rows_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two by-design rows-only checks: the binary
+    postings codec integrity sweep (F9) and the HLL approx-distinct
+    aggregate (A3 — sketch values are engine-specific, __spark_entry__
+    convention). Shape: (check, flag, n_rows, n_units)."""
+    codec = q_postings_codec_check(spark, sf_dir)
+    hll = q_agg_approx_distinct(spark, sf_dir)
+    a = codec.select(F.lit("codec").alias("check"),
+                     F.col("codec_ok").cast("string").alias("flag"),
+                     F.col("n_rows").cast("long").alias("n_rows"),
+                     F.col("n_postings").cast("long").alias("n_units"))
+    b = hll.select(F.lit("hll").alias("check"), F.lit("ok").alias("flag"),
+                   F.col("approx_parts").cast("long").alias("n_rows"),
+                   F.col("approx_orders").cast("long").alias("n_units"))
+    return a.unionByName(b)
+
 
 def q_postings_codec_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode every SEGMENT and FRAGMENT row of the built index and
@@ -934,8 +954,7 @@ QUERIES2 = {
     "scalar_datetime_json": q_scalar_datetime_json,
     "scalar_math_array": q_scalar_math_array,
     "asof_join": q_asof_join,
-    "agg_approx_distinct": q_agg_approx_distinct,
-    "postings_codec_check": q_postings_codec_check,
+    "postings_codec_check": q_engine_rows_checks,
 }
 
 ORACLES2 = {
@@ -958,6 +977,7 @@ ORACLES2 = {
     "scalar_datetime_json": SQL_SCALAR_DATETIME_JSON,
     "scalar_math_array": SQL_SCALAR_MATH_ARRAY,
     "asof_join": SQL_ASOF_JOIN,
-    # rows-only by design: postings_codec_check (binary codec),
-    # agg_approx_distinct (HLL sketch values are engine-specific)
+    # rows-only by design: postings_codec_check — since round 7 a
+    # tagged union of the binary-codec sweep (F9) AND the HLL
+    # approx-distinct agg (A3; sketch values are engine-specific)
 }

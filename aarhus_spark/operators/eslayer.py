@@ -103,6 +103,91 @@ def search_facets(spark: SparkSession, index_dir, queries: DataFrame,
             .select("query_id", "bucket", "doc_count", "brank"))
 
 
+def search_date_histogram(spark: SparkSession, index_dir,
+                          queries: DataFrame, interval: str = "minute",
+                          n_buckets: int = 1000,
+                          **bool_kwargs) -> DataFrame:
+    """ES ``aggs: {date_histogram: {field: warc_ts, calendar_interval:
+    …}}`` alongside a query: bucket ALL matching docs by the
+    calendar-truncated crawl timestamp and count per bucket. ES orders
+    date_histogram buckets by KEY ascending (unlike the terms agg's
+    count-desc) — ``brank`` follows that; empty buckets are omitted
+    (ES ``min_doc_count: 1``). The bucket key is the truncated
+    timestamp formatted ``yyyy-MM-dd HH:mm:ss`` so the value is
+    engine-portable (no epoch/timezone arithmetic in the compared
+    output; the box and the twin both run UTC).
+
+    Plan shape: identical to :func:`search_facets` — matched set
+    equi-joins doclens on docid, one hash agg, a tiny per-query
+    window. ``date_trunc`` is a JVM column expression."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select(
+        "docid",
+        F.date_format(F.date_trunc(interval, "warc_ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+    counts = (matched.join(meta, "docid")
+              .groupBy("query_id", "bucket")
+              .agg(F.count("*").alias("doc_count")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("bucket"))
+    return (counts.withColumn("brank", F.row_number().over(w).cast("long"))
+            .filter(F.col("brank") <= n_buckets)
+            .select("query_id", "bucket", "doc_count", "brank"))
+
+
+def suggest_terms(spark: SparkSession, index_dir, words: DataFrame,
+                  max_edits: int = 2, n_suggestions: int = 5,
+                  suggest_mode: str = "always") -> DataFrame:
+    """ES *term suggester* ("did you mean"): for each (word_id, word)
+    row, find dictionary terms within ``max_edits`` Levenshtein edits
+    and rank them (distance asc, df desc, term asc) — the
+    deterministic analog of ES's (score desc, freq desc) suggestion
+    order, since fewer edits ⇔ higher string-similarity score.
+
+    ``suggest_mode`` mirrors ES: ``"missing"`` suggests only for words
+    absent from the dictionary, ``"popular"`` keeps only candidates
+    with strictly higher df than the word's own (0 if absent),
+    ``"always"`` applies no such filter. The word itself (distance 0)
+    is never a suggestion.
+
+    Plan shape: the term dictionary is the engine's SMALLEST artifact
+    (one row per distinct term); ``words`` is human-scale and
+    broadcast, so the scan is an embarrassingly parallel
+    broadcast-nested-loop with a cheap length pre-filter ahead of the
+    JVM ``levenshtein`` (threshold form — early-exits past
+    ``max_edits``). Chain dirs sum df before ranking, same contract
+    as the Q12-Q16 dictionary rewrites."""
+    if suggest_mode not in ("always", "missing", "popular"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    dirs = _as_dirs(index_dir)
+    dic = None
+    for d in dirs:
+        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+                 .select("term", "df"))
+        dic = piece if dic is None else dic.unionByName(piece)
+    dic = dic.groupBy("term").agg(F.sum("df").alias("df"))
+    w = words.select("word_id", F.lower(F.col("word")).alias("word"))
+    own = dic.withColumnRenamed("term", "word").withColumnRenamed(
+        "df", "own_df")
+    w = (w.join(F.broadcast(own), "word", "left")
+         .fillna(0, subset=["own_df"]))
+    cand = (dic.join(F.broadcast(w),
+                     F.abs(F.length("term") - F.length("word"))
+                     <= int(max_edits))
+            .withColumn("distance",
+                        F.levenshtein("term", "word", int(max_edits)))
+            .filter(F.col("distance") > 0))
+    if suggest_mode == "missing":
+        cand = cand.filter(F.col("own_df") == 0)
+    elif suggest_mode == "popular":
+        cand = cand.filter(F.col("df") > F.col("own_df"))
+    win = Window.partitionBy("word_id").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term"))
+    return (cand.withColumn("srank", F.row_number().over(win).cast("long"))
+            .filter(F.col("srank") <= n_suggestions)
+            .select("word_id", "word", "srank", "term",
+                    F.col("distance").cast("long").alias("distance"), "df"))
+
+
 def search_function_score(spark: SparkSession, index_dir,
                           queries: DataFrame, k: int = TOP_K,
                           origin: str = "2026-01-01 00:00:00",

@@ -223,3 +223,70 @@ def test_mlt_selection_and_search(spark, eidx):
     for qid, u in seeds:
         d = oidx.urls.index(u)
         assert (qid, d) not in {(q, dd) for q, _, dd, _ in got}
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein — the twin must not share code with the
+    engine (which uses JVM levenshtein)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_date_histogram_vs_python_twin(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_date_histogram
+    out, oidx, _, ddf = eidx
+    ts_by_url = dict(zip(ddf["url"], ddf["warc_ts"]))
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_date_histogram(spark, out, qdf, interval="minute")
+    got = sorted((r["query_id"], r["brank"], r["bucket"], r["doc_count"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        counts = Counter(
+            ts_by_url[oidx.urls[d]].floor("min").strftime("%Y-%m-%d %H:%M:%S")
+            for d in _all_matches(oidx, qtext))
+        for i, b in enumerate(sorted(counts)):
+            exp.append((qid, i + 1, b, counts[b]))
+    assert got == sorted(exp)
+    # ES key-asc ordering and >1 bucket (fixture spreads ts over ~600 s
+    # plus a +1d re-crawl band, so the agg is non-degenerate)
+    assert max(g[1] for g in got) > 1
+
+
+def test_suggest_terms_vs_python_twin(spark, eidx):
+    from aarhus_spark.operators.eslayer import suggest_terms
+    out, oidx, _, _ = eidx
+    # "the" exists in the dictionary (missing-mode must emit nothing
+    # for it); the others are typos; the last has no 2-edit neighbors
+    words = [(0, "the"), (1, "tha"), (2, "dta"), (3, "zzqqxxyy")]
+    wdf = spark.createDataFrame(words, "word_id long, word string")
+    for mode in ("always", "missing", "popular"):
+        res = suggest_terms(spark, out, wdf, max_edits=2,
+                            n_suggestions=4, suggest_mode=mode)
+        got = sorted((r["word_id"], r["srank"], r["term"],
+                      r["distance"], r["df"]) for r in res.collect())
+        exp = []
+        for wid, w in words:
+            own = oidx.df.get(w, 0)
+            if mode == "missing" and own > 0:
+                continue
+            cand = [(t, _lev(t, w), oidx.df[t]) for t in oidx.postings
+                    if abs(len(t) - len(w)) <= 2]
+            cand = [(t, d, df) for t, d, df in cand if 1 <= d <= 2]
+            if mode == "popular":
+                cand = [(t, d, df) for t, d, df in cand if df > own]
+            cand.sort(key=lambda x: (x[1], -x[2], x[0]))
+            exp.extend((wid, i + 1, t, d, df)
+                       for i, (t, d, df) in enumerate(cand[:4]))
+        assert got == sorted(exp), mode
+        if mode == "always":
+            assert len(got) > 0
+    # missing mode: the in-dictionary word got nothing
+    res = suggest_terms(spark, out, wdf, suggest_mode="missing")
+    assert not [r for r in res.collect() if r["word_id"] == 0]
