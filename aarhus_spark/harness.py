@@ -1485,6 +1485,7 @@ FS_DECAY = 0.5
 PAGE_SIZE = 10
 HL_WINDOW = 4
 MLT_SEEDS = 2
+SIG_TERMS = 10
 
 
 def _disjunctive_scored_ctes(queries: list[tuple[int, str]]) -> str:
@@ -1515,13 +1516,17 @@ def _disjunctive_scored_ctes(queries: list[tuple[int, str]]) -> str:
 
 
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q17+Q22 (round-7 fold, one tagged union): ES terms aggregation
-    alongside a search — ALL matching docs bucketed by the url's
-    source segment, top buckets per query by (doc_count desc, bucket
-    asc) — plus the date_histogram agg over the same match set
-    (calendar-minute truncation of warc_ts, ES key-asc bucket order).
-    Counting only: no FP in the compared values."""
-    from .operators.eslayer import search_date_histogram, search_facets
+    """Q17+Q22+Q24 (round-7 fold, one tagged union): ES terms
+    aggregation alongside a search — ALL matching docs bucketed by the
+    url's source segment, top buckets per query by (doc_count desc,
+    bucket asc) — plus the date_histogram agg over the same match set
+    (calendar-minute truncation of warc_ts, ES key-asc bucket order),
+    plus significant_terms (bucket = term, doc_count = fg_df, brank =
+    rank by the rounded JLH score — rank identity checks the scoring,
+    fg_df checks the counting). Integer/string compared values only."""
+    from .operators.eslayer import (search_date_histogram, search_facets,
+                                    search_significant_terms)
+    from .sources.io import pages_from_documents
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
     terms = (search_facets(spark, idx, qdf, n_buckets=FACET_BUCKETS,
@@ -1529,7 +1534,14 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("terms").alias("facet_kind"), "*"))
     date = (search_date_histogram(spark, idx, qdf, interval="minute")
             .select(F.lit("date").alias("facet_kind"), "*"))
-    return terms.unionByName(date)
+    sig = search_significant_terms(spark, idx, qdf,
+                                   pages_from_documents(spark, sf_dir),
+                                   n_terms=SIG_TERMS)
+    sig = sig.select(F.lit("sig").alias("facet_kind"), "query_id",
+                     F.col("term").alias("bucket"),
+                     F.col("fg_df").alias("doc_count"),
+                     F.col("srank").alias("brank"))
+    return terms.unionByName(date).unionByName(sig)
 
 
 def _facets_oracle_sql() -> str:
@@ -1564,6 +1576,22 @@ SELECT 'date' AS facet_kind, query_id, bucket, doc_count,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY bucket) AS BIGINT) AS brank
 FROM dcounts
+UNION ALL
+SELECT facet_kind, query_id, bucket, doc_count, brank FROM (
+  SELECT 'sig' AS facet_kind, f.query_id, f.term AS bucket,
+         f.fg_df AS doc_count,
+         CAST(row_number() OVER (PARTITION BY f.query_id ORDER BY
+           round( ((f.fg_df * 1.0 / g.fg_size) / (d.df * 1.0 / s.n))
+                * ((f.fg_df * 1.0 / g.fg_size) - (d.df * 1.0 / s.n)), 9)
+           DESC, f.term) AS BIGINT) AS brank
+  FROM (SELECT m.query_id, t.term, CAST(count(*) AS BIGINT) AS fg_df
+        FROM m JOIN (SELECT DISTINCT docid, term FROM tf) t USING (docid)
+        GROUP BY m.query_id, t.term) f
+  JOIN (SELECT query_id, count(*) AS fg_size FROM m GROUP BY query_id) g
+    USING (query_id)
+  JOIN dfs d ON d.term = f.term
+  CROSS JOIN stats s) z
+WHERE brank <= {SIG_TERMS}
 """
 
 

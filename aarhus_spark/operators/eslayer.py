@@ -134,6 +134,62 @@ def search_date_histogram(spark: SparkSession, index_dir,
             .select("query_id", "bucket", "doc_count", "brank"))
 
 
+def search_significant_terms(spark: SparkSession, index_dir,
+                             queries: DataFrame, docs: DataFrame,
+                             n_terms: int = 10, round_to: int = 9,
+                             **bool_kwargs) -> DataFrame:
+    """ES ``significant_terms`` agg: terms unusually frequent in the
+    query's matched docs (foreground) relative to the whole corpus
+    (background). fg_df = matched docs containing the term (re-analyze
+    the stored text, ES field-data style), bg_df = dictionary df,
+    fg_size = |matched| per query, bg_size = N from the stats sink.
+
+    Score is JLH (ES's classic significance heuristic):
+    ``(fg%/bg%) · (fg% − bg%)`` — computed as ONE double expression
+    with fixed parenthesization and rounded to ``round_to`` before
+    ranking, so the DuckDB twin's libm can never flip a rank. Buckets
+    rank (score desc, term asc), top ``n_terms`` per query.
+
+    Plan shape: matched set ⋈ doclens ⋈ stored text (shuffle bounded
+    by the match set — the bound ES itself pays), one explode of the
+    per-doc DISTINCT token array, a hash agg on (query_id, term), a
+    broadcast of per-query fg sizes, an equi-join with the dictionary
+    (the engine's smallest table), a tiny per-query window. All
+    JVM-side column functions."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    fg_size = matched.groupBy("query_id").agg(
+        F.count("*").alias("fg_size"))
+    meta = _doc_meta(spark, index_dir).select("docid", "url")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: (t != F.lit("")) & (F.length(t) <= F.lit(64)))
+    docterms = (matched.join(meta, "docid")
+                .join(docs.select("url", "text"), "url")
+                .select("query_id",
+                        F.explode(F.array_distinct(toks)).alias("term")))
+    fg = docterms.groupBy("query_id", "term").agg(
+        F.count("*").alias("fg_df"))
+    dirs = _as_dirs(index_dir)
+    dic = None
+    for d in dirs:
+        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+                 .select("term", "df"))
+        dic = piece if dic is None else dic.unionByName(piece)
+    dic = dic.groupBy("term").agg(F.sum("df").alias("bg_df"))
+    n_total, _, _ = load_stats_multi(dirs)
+    fgp = F.col("fg_df").cast("double") / F.col("fg_size").cast("double")
+    bgp = F.col("bg_df").cast("double") / F.lit(float(n_total))
+    score = F.round((fgp / bgp) * (fgp - bgp), round_to)
+    scored = (fg.join(F.broadcast(fg_size), "query_id")
+              .join(dic, "term")
+              .withColumn("score", score))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("term"))
+    return (scored.withColumn("srank", F.row_number().over(w).cast("long"))
+            .filter(F.col("srank") <= n_terms)
+            .select("query_id", "srank", "term", "fg_df", "bg_df", "score"))
+
+
 def suggest_terms(spark: SparkSession, index_dir, words: DataFrame,
                   max_edits: int = 2, n_suggestions: int = 5,
                   suggest_mode: str = "always") -> DataFrame:

