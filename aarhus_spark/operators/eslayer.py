@@ -11,6 +11,13 @@ of each, built over the engine's own artifacts:
   (no top-k cut), because ES computes aggs/function_score over ALL
   matching docs, not the top k.
 - :func:`search_facets` — ``aggs.terms`` over the url host.
+- :func:`search_date_histogram` — ``aggs.date_histogram`` over
+  ``warc_ts`` (calendar truncation, key-asc bucket order).
+- :func:`search_significant_terms` — ``aggs.significant_terms``
+  (JLH heuristic; fg from re-analyzed stored text, bg from the
+  dictionary).
+- :func:`suggest_terms` — the *term suggester* ("did you mean"):
+  Levenshtein dictionary scan, ES suggest_mode semantics.
 - :func:`search_function_score` — multiplicative exp-decay on
   ``warc_ts`` (ES ``exp`` decay function, offset=0).
 - :func:`search_page` — keyset pagination on (score desc, docid asc),
