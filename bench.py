@@ -150,6 +150,13 @@ def main() -> None:
     timed("search_highlight_50q",
           lambda: search_highlight(spark, idx_dir, qdf, pages,
                                    k=10, window=4).count())
+    # significant_terms re-analyzes every matched doc's stored text —
+    # the one agg whose cost profile differs from facets (explode of
+    # per-doc distinct tokens vs a metadata join)
+    from aarhus_spark.operators.eslayer import search_significant_terms
+    timed("search_sigterms_50q",
+          lambda: search_significant_terms(spark, idx_dir, qdf, pages,
+                                           n_terms=10).count())
 
     # X7 compaction: split the corpus into base (even doc_id urls) +
     # delta, then compact the 2-dir chain into one index — the only
