@@ -1907,6 +1907,240 @@ WHERE srank <= {SUGGEST_N}
 """
 
 
+def q_bm25_fscore_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18+Q19 (round-7 fold, one tagged union): function_score exp
+    decay ranking (kind='fscore', page=0) and search_after keyset
+    pagination pages 1-2 (kind='page') — both constituents keep their
+    full oracle check."""
+    fs = (q_bm25_function_score(spark, sf_dir)
+          .select(F.lit("fscore").alias("kind"),
+                  F.lit(0).cast("int").alias("page"),
+                  "query_id", "rank", "docid", "score_r"))
+    pg = (q_bm25_page_after(spark, sf_dir)
+          .select(F.lit("page").alias("kind"),
+                  F.col("page").cast("int").alias("page"),
+                  "query_id", F.col("rank").cast("long").alias("rank"),
+                  "docid", "score_r"))
+    return fs.unionByName(pg)
+
+
+def _fscore_page_oracle_sql() -> str:
+    return f"""
+SELECT 'fscore' AS kind, CAST(0 AS INTEGER) AS page,
+       query_id, rank, docid, score_r
+FROM ({_function_score_oracle_sql()})
+UNION ALL
+SELECT 'page' AS kind, CAST(page AS INTEGER) AS page,
+       query_id, CAST(rank AS BIGINT) AS rank, docid, score_r
+FROM ({_page_after_oracle_sql()})
+"""
+
+
+def q_bm25_highlight_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20+Q21 (round-7 fold, one tagged union): plain-highlighter
+    snippets (kind='hl', payload = the byte-compared snippet) and
+    more_like_this ranking (kind='mlt', payload='' — rank+docid
+    identity checks the tf·idf selection and the BM25 scoring, the
+    same check the standalone entry made)."""
+    hl = (q_bm25_highlight(spark, sf_dir)
+          .select(F.lit("hl").alias("kind"), "query_id", "rank", "docid",
+                  F.col("snippet").alias("payload")))
+    ml = (q_bm25_more_like_this(spark, sf_dir)
+          .select(F.lit("mlt").alias("kind"), "query_id", "rank", "docid",
+                  F.lit("").alias("payload")))
+    return hl.unionByName(ml)
+
+
+def _highlight_mlt_oracle_sql() -> str:
+    return f"""
+SELECT 'hl' AS kind, query_id, rank, docid, snippet AS payload
+FROM ({_highlight_oracle_sql()})
+UNION ALL
+SELECT 'mlt' AS kind, query_id, rank, docid, '' AS payload
+FROM ({_mlt_oracle_sql()})
+"""
+
+
+# metric-aggs filter clause: warc_ts = FS_ORIGIN + doc_id seconds by
+# construction (sources/io.py pages_from_documents), so the range
+# [origin+100s, origin+800s) selects exactly doc_id ∈ [100, 800)
+METRIC_TS_LO = "2026-01-01 00:01:40"
+METRIC_TS_HI = "2026-01-01 00:13:20"
+
+
+def q_es_metric_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q25: ES metric aggregations over the full match set — the
+    ``stats`` agg on dl (value_count/min/max/sum/avg), exact
+    ``percentiles`` (p50, p95), ``cardinality`` on the url's source
+    segment — plus the same row under a non-scoring ``bool.filter``
+    range clause on warc_ts (agg_kind='filtered')."""
+    from .operators.eslayer import search_metric_aggs
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
+                                "query_id long, qtext string")
+    a = (search_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE)
+         .select(F.lit("all").alias("agg_kind"), "*"))
+    f = (search_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE,
+                            ts_lo=METRIC_TS_LO, ts_hi=METRIC_TS_HI)
+         .select(F.lit("filtered").alias("agg_kind"), "*"))
+    return a.unionByName(f)
+
+
+def _metric_aggs_oracle_sql() -> str:
+    aggs = """CAST(count(*) AS BIGINT) AS doc_count,
+         min(dl) AS min_dl, max(dl) AS max_dl,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         round(avg(dl * 1.0), 9) AS avg_dl,
+         round(quantile_cont(dl, 0.5), 9) AS p50_dl,
+         round(quantile_cont(dl, 0.95), 9) AS p95_dl,
+         CAST(count(DISTINCT src) AS BIGINT) AS host_card"""
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, m AS (SELECT DISTINCT query_id, docid FROM scored)
+, j AS (
+  SELECT m.query_id, dl.dl,
+         regexp_extract(i.url, '{FACET_RE}', 1) AS src,
+         CAST(split_part(i.url, '/', 5) AS BIGINT) AS did
+  FROM m JOIN ids i USING (docid) JOIN dl USING (docid)
+)
+SELECT 'all' AS agg_kind, query_id, {aggs} FROM j GROUP BY query_id
+UNION ALL
+SELECT 'filtered' AS agg_kind, query_id, {aggs} FROM j
+WHERE did >= 100 AND did < 800 GROUP BY query_id
+"""
+
+
+# boosting / constant_score / rescore harness parameters
+BOOSTING_QUERIES = [(q, t, n) for q, t, n, _ in BOOL_HARNESS_QUERIES]
+NEG_BOOST = 0.25
+CONST_BOOST = 1.5
+RESCORE_W = 2.0
+
+
+def q_es_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q26+Q27+Q28 (one tagged union): ES ``boosting`` query
+    (negative-query matches demoted ×NEG_BOOST, kind='boosting'),
+    ``constant_score`` (every match scores CONST_BOOST, docid-asc
+    ranks, kind='const'), and ``rescore`` with a match_phrase
+    secondary (kind='rescore'). The rescore arm runs with a window
+    that covers the whole match set at harness scale — the window CUT
+    is boundary-tie-sensitive across the two engines' FP summation
+    orders, so the twin checks the rescore combination on the full
+    set; the cut semantics are pytest-checked against the NumPy
+    oracle (tests/test_eslayer.py) where ties are controlled."""
+    from .operators.eslayer import (search_boosting, search_constant_score,
+                                    search_rescore)
+    idx = _ensure_index(spark, sf_dir)
+    bq = spark.createDataFrame(
+        BOOSTING_QUERIES, "query_id long, qtext string, neg_qtext string")
+    b = (_rerank_rounded(search_boosting(spark, idx, bq,
+                                         negative_boost=NEG_BOOST, k=20))
+         .select(F.lit("boosting").alias("kind"), "*"))
+    c = (search_constant_score(spark, idx,
+                               bq.select("query_id", "qtext"),
+                               boost=CONST_BOOST, k=10)
+         .select(F.lit("const").alias("kind"), "query_id",
+                 F.col("rank").cast("long").alias("rank"), "docid",
+                 F.round("score", 6).alias("score_r")))
+    pq = spark.createDataFrame(PHRASE_QUERIES, "query_id long, qtext string")
+    r = (_rerank_rounded(search_rescore(spark, idx, pq, window_size=100000,
+                                        k=20, rescore_weight=RESCORE_W))
+         .select(F.lit("rescore").alias("kind"), "*"))
+    return b.unionByName(c).unionByName(r)
+
+
+def _boosting_oracle_sql(k: int = 10) -> str:
+    from .textops import tokenize
+    pos = [(q, t) for q, t, _ in BOOSTING_QUERIES]
+    negs = [(q, n) for q, t, n in BOOSTING_QUERIES if n]
+    nvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in negs)
+    # phrase-match docid sets for the rescore arm (PHRASE_QUERIES)
+    ph_parts = []
+    for qid, qtext in PHRASE_QUERIES:
+        toks = tokenize(qtext)
+        joins = "\n".join(
+            f"  JOIN tokpos t{i} ON t{i}.docid = t0.docid "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'"
+            for i, t in enumerate(toks[1:], start=1))
+        ph_parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, t0.docid\n"
+            f"FROM tokpos t0\n{joins}\nWHERE t0.term = '{toks[0]}'")
+    ph_union = "\nUNION\n".join(ph_parts)
+    pvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in PHRASE_QUERIES)
+    return f"""{_disjunctive_scored_ctes(pos)}
+, nraw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+  FROM (VALUES {nvals}) AS n(query_id, qtext)
+), nterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '{TOKEN_SQL_RE}')) AS term
+    FROM nraw) z WHERE length(term) <= 64
+), negm AS (
+  SELECT DISTINCT q.query_id, tf.docid FROM tf JOIN nterms q USING (term)
+), boosted AS (
+  SELECT s.query_id, s.docid,
+         s.score * CASE WHEN n.docid IS NULL THEN 1.0
+                        ELSE {NEG_BOOST!r} END AS score
+  FROM scored s
+  LEFT JOIN negm n ON n.query_id = s.query_id AND n.docid = s.docid
+), tokord AS (
+  SELECT docid,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')))) AS ord
+  FROM ids
+), tokpos AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) - 1 AS pos
+  FROM tokord WHERE length(term) <= 64
+), p_qraw AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+  FROM (VALUES {pvals}) AS p(query_id, qtext)
+), p_qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '{TOKEN_SQL_RE}')) AS term
+    FROM p_qraw) z WHERE length(term) <= 64
+), p_scored AS (
+  SELECT q.query_id, tf.docid,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN p_qterms q USING (term)
+  JOIN dfs d USING (term)
+  JOIN dl USING (docid)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.docid
+), phm AS (
+{ph_union}
+), resc AS (
+  SELECT s.query_id, s.docid,
+         s.score + {RESCORE_W!r} * CASE WHEN p.docid IS NULL THEN 0.0
+                                        ELSE s.score END AS score
+  FROM p_scored s
+  LEFT JOIN phm p ON p.query_id = s.query_id AND p.docid = s.docid
+)
+SELECT 'boosting' AS kind, query_id, rank, docid, score_r FROM (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM boosted) z
+WHERE rank <= {k}
+UNION ALL
+SELECT 'const' AS kind, query_id, rank, docid,
+       CAST({CONST_BOOST!r} AS DOUBLE) AS score_r FROM (
+  SELECT query_id, docid,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY docid) AS BIGINT) AS rank
+  FROM (SELECT DISTINCT query_id, docid FROM scored) m) z
+WHERE rank <= {k}
+UNION ALL
+SELECT 'rescore' AS kind, query_id, rank, docid, score_r FROM (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM resc) z
+WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -1926,10 +2160,10 @@ QUERIES: dict[str, callable] = {
     "bm25_multi_match": q_bm25_multi_match,
     "bm25_prefix_fuzzy": q_bm25_prefix_fuzzy,
     "search_facets": q_search_facets,
-    "bm25_function_score": q_bm25_function_score,
-    "bm25_page_after": q_bm25_page_after,
-    "bm25_highlight": q_bm25_highlight,
-    "bm25_more_like_this": q_bm25_more_like_this,
+    "bm25_fscore_page": q_bm25_fscore_page,
+    "bm25_highlight_mlt": q_bm25_highlight_mlt,
+    "es_metric_aggs": q_es_metric_aggs,
+    "es_boosting": q_es_boosting,
     "es_suggest": q_es_suggest,
     "scan_project_filter": q_scan_project_filter,
     "dedup_latest_by_key": q_dedup_latest_by_key,
@@ -1966,10 +2200,10 @@ ORACLES: dict[str, str] = {
     "bm25_multi_match": _multi_match_oracle_sql(),
     "bm25_prefix_fuzzy": _prefix_fuzzy_oracle_sql(),
     "search_facets": _facets_oracle_sql(),
-    "bm25_function_score": _function_score_oracle_sql(),
-    "bm25_page_after": _page_after_oracle_sql(),
-    "bm25_highlight": _highlight_oracle_sql(),
-    "bm25_more_like_this": _mlt_oracle_sql(),
+    "bm25_fscore_page": _fscore_page_oracle_sql(),
+    "bm25_highlight_mlt": _highlight_mlt_oracle_sql(),
+    "es_metric_aggs": _metric_aggs_oracle_sql(),
+    "es_boosting": _boosting_oracle_sql(),
     "es_suggest": _suggest_oracle_sql(),
     "scan_project_filter": SQL_SCAN_PROJECT_FILTER,
     "dedup_latest_by_key": SQL_DEDUP_LATEST_BY_KEY,

@@ -27,6 +27,17 @@ of each, built over the engine's own artifacts:
   token window around the first match is returned with ``<em>`` marks.
 - :func:`more_like_this` — tf·idf term selection from a seed doc,
   scored as a standard BM25 disjunction, seed excluded.
+- :func:`search_metric_aggs` — the ES *metric* aggregations
+  (``stats``/``value_count``/``cardinality``/``percentiles``) over the
+  matched set, optionally under a non-scoring ``bool.filter`` range
+  clause on ``warc_ts``.
+- :func:`search_boosting` — ES ``boosting`` query: negative-query
+  matches are demoted (score × ``negative_boost``), never excluded.
+- :func:`search_constant_score` — ES ``constant_score``: every
+  matching doc scores exactly ``boost``.
+- :func:`search_rescore` — ES ``rescore`` with a ``match_phrase``
+  secondary: the top ``window_size`` BM25 hits are re-ranked by
+  ``query_weight·bm25 + rescore_weight·phrase_score``.
 
 Everything stays JVM-side (built-in column functions); the only
 driver-side work is per-query term selection for MLT (one indexed
@@ -46,8 +57,8 @@ from pyspark.sql.window import Window
 from ..config import TOP_K
 from ..textops import tokenize
 from .build import IndexPaths
-from .search import (RESULT_SCHEMA, _as_dirs, load_stats_multi, search_taat,
-                     search_topk)
+from .search import (RESULT_SCHEMA, _as_dirs, load_stats_multi,
+                     search_phrase, search_taat, search_topk)
 
 # url host — same expression in the DuckDB twin (harness)
 HOST_RE = r"^https?://([^/]+)"
@@ -440,5 +451,148 @@ def more_like_this(spark: SparkSession, index_dir, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("docid"))
     return (kept.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))
+
+
+def search_metric_aggs(spark: SparkSession, index_dir, queries: DataFrame,
+                       round_to: int = 9, ts_lo: str | None = None,
+                       ts_hi: str | None = None,
+                       bucket_regex: str = HOST_RE,
+                       **bool_kwargs) -> DataFrame:
+    """ES *metric* aggregations over the match set — one row per query
+    carrying the ``stats`` agg on the doc-length field (``min``/``max``/
+    ``sum``/``avg`` + ``value_count``), the ``percentiles`` agg (p50 and
+    p95, exact linear interpolation — the deterministic analog of ES's
+    TDigest, which is itself approximate), and the ``cardinality`` agg
+    on the url-derived host key (exact ``count distinct`` — the
+    oracle-checkable analog of ES's HLL; the engine's HLL variant is
+    A3 ``approx_count_distinct``, rows-only checked).
+
+    ``ts_lo``/``ts_hi`` (timestamp strings) add ES's non-scoring
+    ``bool.filter`` range clause on ``warc_ts``: the match set is
+    filtered [lo, hi) BEFORE aggregating, scores untouched — exactly
+    how a filter clause participates in ES (no score contribution,
+    pure selection).
+
+    Plan shape: matched (query_id, docid) equi-joins the doclens sink
+    on docid (shuffle join, AQE-eligible), then ONE hash aggregation —
+    percentile is a JVM built-in, so the whole agg stays codegen'd.
+    Averages/percentiles round to ``round_to`` so a summation-order
+    last-ulp can never flip a compared value."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select(
+        "docid", "dl", "warc_ts",
+        F.regexp_extract("url", bucket_regex, 1).alias("host"))
+    j = matched.join(meta, "docid")
+    if ts_lo is not None:
+        j = j.filter(F.col("warc_ts") >= F.to_timestamp(F.lit(ts_lo)))
+    if ts_hi is not None:
+        j = j.filter(F.col("warc_ts") < F.to_timestamp(F.lit(ts_hi)))
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("doc_count"),
+        F.min("dl").alias("min_dl"),
+        F.max("dl").alias("max_dl"),
+        F.sum("dl").alias("sum_dl"),
+        F.round(F.avg("dl"), round_to).alias("avg_dl"),
+        F.round(F.percentile("dl", F.lit(0.5)), round_to).alias("p50_dl"),
+        F.round(F.percentile("dl", F.lit(0.95)), round_to).alias("p95_dl"),
+        F.countDistinct("host").alias("host_card"))
+
+
+def search_boosting(spark: SparkSession, index_dir, queries: DataFrame,
+                    negative_boost: float = 0.5, k: int = TOP_K) -> DataFrame:
+    """ES ``boosting`` query: the positive query (``qtext``) is scored
+    as a normal BM25 disjunction; docs that ALSO match the negative
+    query (nullable ``neg_qtext`` column) keep their hit but are
+    demoted — ``score × negative_boost`` — never excluded. This is the
+    scoring counterpart of ``bool.must_not`` (which excludes): the two
+    share the negative-clause analysis but differ in what a negative
+    match does.
+
+    Plan shape: two engine match sets (each shuffle-bounded by its own
+    query terms' postings) left-joined on (query_id, docid); the
+    demotion is one JVM CASE expression; then the standard per-query
+    top-k window. Rows with a null ``neg_qtext`` take the plain-BM25
+    path unchanged."""
+    pos = search_matches(spark, index_dir,
+                         queries.select("query_id", "qtext"))
+    nq = (queries.filter(F.col("neg_qtext").isNotNull())
+          .select("query_id", F.col("neg_qtext").alias("qtext")))
+    if nq.head(1):
+        neg = (search_matches(spark, index_dir, nq)
+               .select("query_id", "docid")
+               .withColumn("__neg", F.lit(True)))
+        pos = (pos.join(neg, ["query_id", "docid"], "left")
+               .withColumn("score",
+                           F.when(F.col("__neg"),
+                                  F.col("score")
+                                  * F.lit(float(negative_boost)))
+                           .otherwise(F.col("score")))
+               .drop("__neg"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (pos.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))
+
+
+def search_constant_score(spark: SparkSession, index_dir,
+                          queries: DataFrame, boost: float = 1.0,
+                          k: int = TOP_K, **bool_kwargs) -> DataFrame:
+    """ES ``constant_score``: every doc matching the wrapped query
+    scores exactly ``boost`` — retrieval without relevance ranking
+    (ES uses it to cache pure filters). Ties break docid asc, so the
+    top k are the k smallest matching docids — fully deterministic.
+    Bool-query kwargs pass through to the match-set seam."""
+    matched = (search_matches(spark, index_dir, queries, **bool_kwargs)
+               .withColumn("score", F.lit(float(boost))))
+    w = Window.partitionBy("query_id").orderBy(F.asc("docid"))
+    return (matched.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))
+
+
+def search_rescore(spark: SparkSession, index_dir, queries: DataFrame,
+                   window_size: int = 50, k: int = TOP_K,
+                   query_weight: float = 1.0,
+                   rescore_weight: float = 1.0,
+                   n_ranges: int | None = None) -> DataFrame:
+    """ES ``rescore`` with a ``match_phrase`` secondary — the classic
+    precision pass: take the top ``window_size`` hits of the primary
+    BM25 disjunction, re-rank ONLY those by
+    ``query_weight·bm25 + rescore_weight·phrase_score``, return the
+    top ``k``. Docs outside the window keep their fate — exactly ES's
+    window semantics (a doc ranked below ``window_size`` can never be
+    rescored in).
+
+    ``phrase_score`` here is the engine's match_phrase score: BM25
+    over the phrase's distinct terms restricted to phrase-matching
+    docs (search.py Q8) — for a phrase built from the SAME qtext that
+    equals the primary disjunctive score, so combined =
+    ``bm25 · (query_weight + rescore_weight·[phrase matches])``.
+
+    The phrase side runs with ``k=window_size``, which is sufficient,
+    not approximate: phrase hits are a subset of disjunctive matches
+    and both sides rank by the identical (score desc, docid asc) key,
+    so any phrase hit inside the primary window has phrase-rank ≤ its
+    primary rank ≤ window_size — no phrase hit that matters can be
+    cut. Plan: two engine top-k's + one (query_id, docid) left join +
+    one window — no extra decode passes."""
+    win = search_topk(spark, index_dir, queries, k=window_size,
+                      n_ranges=n_ranges)
+    ph = (search_phrase(spark, index_dir, queries, k=window_size,
+                        n_ranges=n_ranges)
+          .select("query_id", "docid",
+                  F.col("score").alias("__phscore")))
+    comb = (win.join(ph, ["query_id", "docid"], "left")
+            .withColumn("score",
+                        F.lit(float(query_weight)) * F.col("score")
+                        + F.lit(float(rescore_weight))
+                        * F.coalesce(F.col("__phscore"), F.lit(0.0)))
+            .drop("__phscore"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (comb.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "docid", "score"))

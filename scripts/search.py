@@ -38,7 +38,8 @@ def main() -> None:
     ap.add_argument("--mode", choices=["wand", "taat", "wand-ranges",
                                        "wand-single", "phrase", "prefix",
                                        "phrase-prefix", "multi-match",
-                                       "wildcard", "regexp"],
+                                       "wildcard", "regexp", "boosting",
+                                       "constant-score", "rescore"],
                     default="wand",
                     help="wand = default dispatcher (chunk-parallel, fan-out "
                          "auto-sized from index stats); wand-ranges forces the "
@@ -51,7 +52,14 @@ def main() -> None:
                          "index root (see --fields/--combine); wildcard "
                          "treats each qtext as an ES wildcard pattern "
                          "(`wi*d`, `w?rd`); regexp as a whole-term-anchored "
-                         "regex — both dictionary-expanded like prefix")
+                         "regex — both dictionary-expanded like prefix; "
+                         "boosting demotes docs matching the negative query "
+                         "(--negative / per-query neg_qtext column) by "
+                         "--negative-boost instead of excluding them; "
+                         "constant-score scores every match --boost (docid-"
+                         "asc ranks); rescore re-ranks the top "
+                         "--rescore-window primary hits with a match_phrase "
+                         "secondary weighted --rescore-weight")
     ap.add_argument("--ranges", type=int, default=None,
                     help="override the docid-range fan-out (default: from stats)")
     ap.add_argument("--slop", type=int, default=0,
@@ -89,6 +97,19 @@ def main() -> None:
     ap.add_argument("--tie-breaker", type=float, default=0.0,
                     help="multi-match best_fields: blend factor for the "
                          "non-best fields' scores (ES dis_max tie_breaker)")
+    ap.add_argument("--negative", default=None, metavar="TEXT",
+                    help="boosting mode: the negative (demoting) query "
+                         "applied to every query row, concatenated with any "
+                         "per-query neg_qtext column")
+    ap.add_argument("--negative-boost", type=float, default=0.5,
+                    help="boosting mode: multiplier for negative matches")
+    ap.add_argument("--boost", type=float, default=1.0,
+                    help="constant-score mode: the constant score")
+    ap.add_argument("--rescore-window", type=int, default=50,
+                    help="rescore mode: how many primary hits are eligible "
+                         "for the phrase boost (ES window_size)")
+    ap.add_argument("--rescore-weight", type=float, default=1.0,
+                    help="rescore mode: weight of the phrase secondary")
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -96,25 +117,30 @@ def main() -> None:
     # flag/mode compatibility: refuse combinations whose semantics the
     # chosen mode does not implement, instead of silently ignoring them
     if args.mode in ("phrase", "prefix", "phrase-prefix", "multi-match",
-                     "wildcard", "regexp"):
+                     "wildcard", "regexp", "boosting", "rescore"):
         bad = [n for n, v in [("--require-all", args.require_all),
                               ("--min-should-match", args.min_should_match),
                               ("--must-not", args.must_not),
                               ("--must", args.must)] if v]
         if bad:
-            ap.error(f"{', '.join(bad)} only apply to wand/taat modes, "
-                     f"not --mode {args.mode}")
+            ap.error(f"{', '.join(bad)} only apply to wand/taat/"
+                     f"constant-score modes, not --mode {args.mode}")
     if args.mode != "phrase":
         if args.score_mode != "bm25" and args.mode in ("prefix",
                                                        "phrase-prefix",
                                                        "multi-match",
-                                                       "wildcard", "regexp"):
+                                                       "wildcard", "regexp",
+                                                       "boosting",
+                                                       "constant-score",
+                                                       "rescore"):
             ap.error("--score-mode proximity only applies to phrase "
                      "and wand/taat modes")
         if args.slop:
             ap.error("--slop only applies to --mode phrase")
     if args.mode != "multi-match" and (args.fields or args.tie_breaker):
         ap.error("--fields/--tie-breaker only apply to --mode multi-match")
+    if args.mode != "boosting" and args.negative is not None:
+        ap.error("--negative only applies to --mode boosting")
 
     from aarhus_spark.operators.search import (
         search_phrase, search_taat, search_topk, search_wand,
@@ -174,6 +200,30 @@ def main() -> None:
                             qdf.select("query_id",
                                        F.col("qtext").alias("rpattern")),
                             k=args.k, n_ranges=args.ranges)
+    elif args.mode == "boosting":
+        from pyspark.sql import functions as F
+        from aarhus_spark.operators.eslayer import search_boosting
+        bqdf = qdf
+        if args.negative is not None:
+            neg = (F.concat_ws(" ", "neg_qtext", F.lit(args.negative))
+                   if "neg_qtext" in bqdf.columns else F.lit(args.negative))
+            bqdf = bqdf.withColumn("neg_qtext", neg)
+        elif "neg_qtext" not in bqdf.columns:
+            ap.error("--mode boosting needs --negative or a neg_qtext "
+                     "column in the queries parquet")
+        res = search_boosting(spark, index, bqdf, k=args.k,
+                              negative_boost=args.negative_boost)
+    elif args.mode == "constant-score":
+        from aarhus_spark.operators.eslayer import search_constant_score
+        res = search_constant_score(spark, index, qdf, boost=args.boost,
+                                    k=args.k, require_all=args.require_all,
+                                    min_should_match=args.min_should_match)
+    elif args.mode == "rescore":
+        from aarhus_spark.operators.eslayer import search_rescore
+        res = search_rescore(spark, index, qdf, k=args.k,
+                             window_size=args.rescore_window,
+                             rescore_weight=args.rescore_weight,
+                             n_ranges=args.ranges)
     elif args.mode == "multi-match":
         from aarhus_spark.operators.multifield import search_multi_match
         fields, boosts = None, {}

@@ -316,3 +316,145 @@ def test_significant_terms_vs_python_twin(spark, eidx):
     # the agg is non-degenerate: every query has a full top-8 and the
     # top term is not simply the most common corpus term
     assert len(got) == 3 * 8
+
+
+# ---------------------------------------------------------------------------
+# round-7 second batch: metric aggs, boosting, constant_score, rescore
+# ---------------------------------------------------------------------------
+
+def test_metric_aggs_vs_python_twin(spark, eidx):
+    import numpy as np
+    from aarhus_spark.operators.eslayer import search_metric_aggs
+    out, oidx, _, _ = eidx
+    host_re = re.compile(HOST_RE)
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    got = {r["query_id"]: r.asDict()
+           for r in search_metric_aggs(spark, out, qdf).collect()}
+    for qid, qtext in QUERIES:
+        m = list(_all_matches(oidx, qtext))
+        assert m, qtext
+        dls = np.array([int(oidx.dls[d]) for d in m])
+        g = got[qid]
+        assert g["doc_count"] == len(m)
+        assert g["min_dl"] == dls.min()
+        assert g["max_dl"] == dls.max()
+        assert g["sum_dl"] == dls.sum()
+        assert g["avg_dl"] == round(float(dls.mean()), 9)
+        assert g["p50_dl"] == pytest.approx(
+            round(float(np.percentile(dls, 50)), 9), abs=2e-9)
+        assert g["p95_dl"] == pytest.approx(
+            round(float(np.percentile(dls, 95)), 9), abs=2e-9)
+        hosts = {host_re.match(oidx.urls[d]).group(1) for d in m}
+        assert g["host_card"] == len(hosts)
+
+
+def test_metric_aggs_ts_filter_clause(spark, eidx):
+    """bool.filter range on warc_ts: non-scoring selection BEFORE the
+    aggregation — doc_count under the filter must equal the twin's
+    count over ts-filtered matches, and be < the unfiltered count for
+    at least one query (the clause is load-bearing)."""
+    from aarhus_spark.operators.eslayer import search_metric_aggs
+    out, oidx, _, ddf = eidx
+    ts_by_url = dict(zip(ddf["url"], ddf["warc_ts"]))
+    tss = sorted(ts_by_url.values())
+    lo, hi = tss[len(tss) // 4], tss[3 * len(tss) // 4]
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    full = {r["query_id"]: r["doc_count"]
+            for r in search_metric_aggs(spark, out, qdf).collect()}
+    filt = {r["query_id"]: r["doc_count"]
+            for r in search_metric_aggs(spark, out, qdf, ts_lo=str(lo),
+                                        ts_hi=str(hi)).collect()}
+    shrunk = False
+    for qid, qtext in QUERIES:
+        m = [d for d in _all_matches(oidx, qtext)
+             if lo <= ts_by_url[oidx.urls[d]] < hi]
+        assert filt.get(qid, 0) == len(m), qid
+        shrunk = shrunk or filt.get(qid, 0) < full[qid]
+    assert shrunk, "ts filter never narrowed any match set"
+
+
+def test_boosting_demotes_not_excludes(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_boosting
+    from aarhus_spark.textops import tokenize
+    out, oidx, _, _ = eidx
+    nb = 0.25  # power of two: the demotion multiply is FP-exact
+    # neg='of' demotes ~all of query 0's matches yet 9 of them stay in
+    # the top-10 (verified against the oracle) — demote, don't exclude
+    bq = [(0, "the data", "of"), (1, "query2 join11", None)]
+    qdf = spark.createDataFrame(
+        bq, "query_id long, qtext string, neg_qtext string")
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                 for r in search_boosting(spark, out, qdf,
+                                          negative_boost=nb, k=10).collect())
+    exp, any_demoted_kept = [], False
+    for qid, qt, nqt in bq:
+        excl = set()
+        if nqt:
+            for t in tokenize(nqt):
+                if t in oidx.postings:
+                    excl.update(oidx.postings[t][0].tolist())
+        adj = {d: (s * nb if d in excl else s)
+               for d, s in _all_matches(oidx, qt).items()}
+        top = sorted(adj.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        exp.extend((qid, i + 1, d, s) for i, (d, s) in enumerate(top))
+        any_demoted_kept = any_demoted_kept or any(
+            d in excl for d, _ in top)
+    assert got == sorted(exp)
+    assert any_demoted_kept, ("no demoted doc stayed in a top-10 — the "
+                              "demote-not-exclude semantics went untested")
+
+
+def test_constant_score_docid_order(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_constant_score
+    out, oidx, _, _ = eidx
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                 for r in search_constant_score(spark, out, qdf, boost=1.5,
+                                                k=10).collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        ids = sorted(_all_matches(oidx, qtext))[:10]
+        exp.extend((qid, i + 1, d, 1.5) for i, d in enumerate(ids))
+    assert got == sorted(exp)
+
+
+def _phrase_hit(toks, ptoks):
+    m = len(ptoks)
+    return any(toks[i:i + m] == ptoks for i in range(len(toks) - m + 1))
+
+
+def test_rescore_phrase_window(spark, eidx):
+    """ES rescore: only the top window_size primary hits are eligible
+    for the phrase boost; combined = qw·bm25 + rw·phrase_score, where
+    the phrase score for a same-qtext phrase equals the disjunctive
+    BM25 (distinct terms identical). The twin re-derives the window
+    from the oracle's match set — engine scores are bitwise equal to
+    the oracle's (test_search_matches), so the window cut is
+    deterministic here."""
+    from aarhus_spark.operators.eslayer import search_rescore
+    from aarhus_spark.textops import tokenize
+    out, oidx, _, _ = eidx
+    qs = [(0, "the data"), (1, "of the")]
+    qdf = spark.createDataFrame(qs, "query_id long, qtext string")
+    window, k, rw = 12, 8, 2.0
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                 for r in search_rescore(spark, out, qdf, window_size=window,
+                                         k=k, rescore_weight=rw).collect())
+    exp, boosted_any, cut_any = [], False, False
+    for qid, qtext in qs:
+        matches = _all_matches(oidx, qtext)
+        win = sorted(matches.items(), key=lambda kv: (-kv[1], kv[0]))[:window]
+        ptoks = tokenize(qtext)
+        comb = {d: (s + rw * s if _phrase_hit(oidx.tokens[d], ptoks) else s)
+                for d, s in win}
+        top = sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        exp.extend((qid, i + 1, d, s) for i, (d, s) in enumerate(top))
+        boosted_any = boosted_any or any(
+            _phrase_hit(oidx.tokens[d], ptoks) for d, _ in win)
+        cut_any = cut_any or any(
+            _phrase_hit(oidx.tokens[d], ptoks)
+            for d in matches if d not in dict(win))
+    assert got == sorted(exp)
+    assert boosted_any, "no phrase hit inside any window — boost untested"
+    assert cut_any, ("no phrase hit OUTSIDE any window — the window cut "
+                     "semantics went untested")
