@@ -2141,6 +2141,78 @@ WHERE rank <= {k}
 """
 
 
+def q_incremental_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+X8 (round-7 fold, one tagged union): base+delta chain
+    (kind='delta') and base+tombstone-delta re-crawl overwrite
+    (kind='recrawl') — both url-keyed BM25 vs monolithic-rebuild
+    oracles, both constituents keep their full check."""
+    d = (q_incremental_delta(spark, sf_dir)
+         .select(F.lit("delta").alias("kind"), "*"))
+    r = (q_incremental_recrawl(spark, sf_dir)
+         .select(F.lit("recrawl").alias("kind"), "*"))
+    return d.unionByName(r)
+
+
+def _incremental_chain_oracle_sql() -> str:
+    delta = _bm25_oracle_sql(by_url=True)
+    recrawl = _bm25_oracle_sql(
+        by_url=True, queries=RECRAWL_QUERIES,
+        corpus_ctes=_corpus_ctes_duck(_RECRAWL_TEXT_EXPR))
+    return f"""
+SELECT 'delta' AS kind, query_id, rank, url, score_r FROM ({delta})
+UNION ALL
+SELECT 'recrawl' AS kind, query_id, rank, url, score_r FROM ({recrawl})
+"""
+
+
+TOP_HITS_BUCKETS = 5
+TOP_HITS_K = 3
+
+
+def q_es_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29: ES terms agg + top_hits sub-agg — top buckets by doc_count
+    with the best K hits per kept bucket, hit ranks on the rounded
+    score key (the search_page cross-engine contract)."""
+    from .operators.eslayer import search_top_hits
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
+                                "query_id long, qtext string")
+    res = search_top_hits(spark, idx, qdf, n_buckets=TOP_HITS_BUCKETS,
+                          k_hits=TOP_HITS_K, bucket_regex=FACET_RE,
+                          round_to=6)
+    return res.select("query_id", "bucket", "doc_count", "brank", "hrank",
+                      "docid", F.col("score").alias("score_r"))
+
+
+def _top_hits_oracle_sql() -> str:
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, bk AS (
+  SELECT m.query_id, m.docid, round(m.score, 6) AS score_r,
+         regexp_extract(i.url, '{FACET_RE}', 1) AS bucket
+  FROM scored m JOIN ids i USING (docid)
+), counts AS (
+  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS doc_count
+  FROM bk GROUP BY query_id, bucket
+), kept AS (
+  SELECT * FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY doc_count DESC, bucket) AS BIGINT) AS brank
+    FROM counts) z
+  WHERE brank <= {TOP_HITS_BUCKETS}
+), h AS (
+  SELECT * FROM (
+    SELECT query_id, bucket, docid, score_r,
+           CAST(row_number() OVER (PARTITION BY query_id, bucket
+                ORDER BY score_r DESC, docid) AS BIGINT) AS hrank
+    FROM bk) z
+  WHERE hrank <= {TOP_HITS_K}
+)
+SELECT k.query_id, k.bucket, k.doc_count, k.brank, h.hrank, h.docid,
+       h.score_r
+FROM kept k JOIN h USING (query_id, bucket)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -2151,8 +2223,8 @@ QUERIES: dict[str, callable] = {
     "bm25_phrase": q_bm25_phrase,
     "bm25_phrase_slop": q_bm25_phrase_slop,
     "index_stats": q_index_stats,
-    "incremental_delta": q_incremental_delta,
-    "incremental_recrawl": q_incremental_recrawl,
+    "incremental_chain": q_incremental_chain,
+    "es_top_hits": q_es_top_hits,
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2185,10 +2257,8 @@ ORACLES: dict[str, str] = {
     "bm25_phrase": _phrase_oracle_sql(),
     "bm25_phrase_slop": _phrase_slop_oracle_sql(),
     "index_stats": SQL_INDEX_STATS,
-    "incremental_delta": _bm25_oracle_sql(by_url=True),
-    "incremental_recrawl": _bm25_oracle_sql(
-        by_url=True, queries=RECRAWL_QUERIES,
-        corpus_ctes=_corpus_ctes_duck(_RECRAWL_TEXT_EXPR)),
+    "incremental_chain": _incremental_chain_oracle_sql(),
+    "es_top_hits": _top_hits_oracle_sql(),
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),

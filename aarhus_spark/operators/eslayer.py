@@ -596,3 +596,45 @@ def search_rescore(spark: SparkSession, index_dir, queries: DataFrame,
     return (comb.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "docid", "score"))
+
+
+def search_top_hits(spark: SparkSession, index_dir, queries: DataFrame,
+                    n_buckets: int = 10, k_hits: int = 3,
+                    bucket_regex: str = HOST_RE,
+                    round_to: int | None = None,
+                    **bool_kwargs) -> DataFrame:
+    """ES ``terms`` agg with a ``top_hits`` sub-agg: the top
+    ``n_buckets`` buckets per query by (doc_count desc, bucket asc) —
+    the Q17 terms-agg order — and within each kept bucket the top
+    ``k_hits`` matching docs by (score desc, docid asc). This is ES's
+    "best documents per category" idiom (group hits by host, show the
+    3 best per host).
+
+    ``round_to`` ranks hits on ``round(score, round_to)`` — the same
+    cross-engine contract as :func:`search_page` — so an FP
+    summation-order difference can never flip a within-bucket rank.
+
+    Plan shape: ONE matched-set ⋈ doclens join feeds both the bucket
+    counting agg and the per-(query, bucket) hit window; the bucket
+    top-N join back is a tiny broadcast (n_queries × n_buckets rows).
+    Returns (query_id, bucket, doc_count, brank, hrank, docid,
+    score)."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select(
+        "docid", F.regexp_extract("url", bucket_regex, 1).alias("bucket"))
+    key = (F.round(F.col("score"), round_to) if round_to is not None
+           else F.col("score"))
+    bk = matched.join(meta, "docid").withColumn("__key", key)
+    counts = (bk.groupBy("query_id", "bucket")
+              .agg(F.count("*").alias("doc_count")))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_count"), F.asc("bucket"))
+    kept = (counts.withColumn("brank", F.row_number().over(wb).cast("long"))
+            .filter(F.col("brank") <= n_buckets))
+    wh = Window.partitionBy("query_id", "bucket").orderBy(
+        F.desc("__key"), F.asc("docid"))
+    hits = (bk.withColumn("hrank", F.row_number().over(wh).cast("long"))
+            .filter(F.col("hrank") <= k_hits))
+    return (hits.join(F.broadcast(kept), ["query_id", "bucket"])
+            .select("query_id", "bucket", "doc_count", "brank", "hrank",
+                    "docid", F.col("__key").alias("score")))

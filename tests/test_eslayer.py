@@ -458,3 +458,31 @@ def test_rescore_phrase_window(spark, eidx):
     assert boosted_any, "no phrase hit inside any window — boost untested"
     assert cut_any, ("no phrase hit OUTSIDE any window — the window cut "
                      "semantics went untested")
+
+
+def test_top_hits_vs_python_twin(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_top_hits
+    out, oidx, _, _ = eidx
+    host_re = re.compile(HOST_RE)
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_top_hits(spark, out, qdf, n_buckets=4, k_hits=2,
+                          round_to=6)
+    got = sorted((r["query_id"], r["bucket"], r["doc_count"], r["brank"],
+                  r["hrank"], r["docid"], r["score"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        m = _all_matches(oidx, qtext)
+        by_bucket = {}
+        for d, s in m.items():
+            by_bucket.setdefault(
+                host_re.match(oidx.urls[d]).group(1), []).append(
+                    (round(s, 6), d))
+        kept = sorted(by_bucket.items(),
+                      key=lambda kv: (-len(kv[1]), kv[0]))[:4]
+        for brank, (b, hits) in enumerate(kept, 1):
+            top = sorted(hits, key=lambda x: (-x[0], x[1]))[:2]
+            exp.extend((qid, b, len(hits), brank, i + 1, d, s)
+                       for i, (s, d) in enumerate(top))
+    assert got == sorted(exp)
+    assert len(got) > 0
