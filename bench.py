@@ -158,6 +158,18 @@ def main() -> None:
           lambda: search_significant_terms(spark, idx_dir, qdf, pages,
                                            n_terms=10).count())
 
+    # round-7c query-DSL completion: the metric-agg hash aggregation
+    # over the 50-query match set (stats/percentiles/cardinality in
+    # one codegen'd agg) and the rescore precision pass (primary topk
+    # + phrase topk + one join) over the 25-phrase set
+    from aarhus_spark.operators.eslayer import (search_metric_aggs,
+                                                search_rescore)
+    timed("search_metric_aggs_50q",
+          lambda: search_metric_aggs(spark, idx_dir, qdf).count())
+    timed("search_rescore_25q",
+          lambda: search_rescore(spark, idx_dir, pqdf, window_size=50,
+                                 k=10, rescore_weight=2.0).count())
+
     # X7 compaction: split the corpus into base (even doc_id urls) +
     # delta, then compact the 2-dir chain into one index — the only
     # major operator previously without a tracked bench number
