@@ -2213,6 +2213,244 @@ FROM kept k JOIN h USING (query_id, bucket)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q30-Q33: remaining ES bucket aggs — histogram / range / filters /
+# composite (after-key paging)
+# ---------------------------------------------------------------------------
+
+HIST_INTERVAL = 25
+RANGE_SPEC = [("*-40", None, 40), ("40-80", 40, 80), ("80-*", 80, None)]
+FILTERS_SPEC = [("short", "dl < 40"), ("long", "dl >= 40"),
+                ("tens", "url LIKE '%0'")]
+COMP_PAGE = 5
+
+
+def q_es_bucket_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q30+Q31+Q32+Q33 (one tagged union): ES numeric ``histogram``
+    (interval buckets on dl, key-asc), ``range`` agg (declared
+    from-inclusive/to-exclusive ranges, empty buckets kept), keyed
+    ``filters`` agg (named predicates, count 0 included), and the
+    ``composite`` agg paged by after-key (page 1 + the cursor-derived
+    page 2 — queries whose page 1 is not full get no page 2, on both
+    engines). Integer/string compared values only — no FP anywhere."""
+    from .operators.eslayer import (search_composite, search_filters_agg,
+                                    search_histogram, search_range_agg)
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
+                                "query_id long, qtext string")
+    hist = (search_histogram(spark, idx, qdf, interval=HIST_INTERVAL)
+            .select(F.lit("hist").alias("agg_kind"), "query_id",
+                    F.col("bucket").cast("string").alias("bucket"),
+                    "doc_count", "brank"))
+    rng = (search_range_agg(spark, idx, qdf, RANGE_SPEC)
+           .select(F.lit("range").alias("agg_kind"), "query_id", "bucket",
+                   "doc_count", "brank"))
+    flt = (search_filters_agg(spark, idx, qdf, dict(FILTERS_SPEC))
+           .select(F.lit("filters").alias("agg_kind"), "query_id",
+                   "bucket", "doc_count", "brank"))
+    p1 = search_composite(spark, idx, qdf, page_size=COMP_PAGE,
+                          bucket_regex=FACET_RE, interval=HIST_INTERVAL)
+    cur = (p1.filter(F.col("brank") == COMP_PAGE)
+           .select("query_id", F.col("k1").alias("after_k1"),
+                   F.col("k2").alias("after_k2")))
+    p2 = search_composite(spark, idx, qdf.join(cur, "query_id", "left_semi"),
+                          page_size=COMP_PAGE, after=cur,
+                          bucket_regex=FACET_RE, interval=HIST_INTERVAL)
+    def _c(df, kind):
+        return df.select(
+            F.lit(kind).alias("agg_kind"), "query_id",
+            F.concat_ws("|", F.col("k1"),
+                        F.col("k2").cast("string")).alias("bucket"),
+            "doc_count", "brank")
+    return (hist.unionByName(rng).unionByName(flt)
+            .unionByName(_c(p1, "comp1")).unionByName(_c(p2, "comp2")))
+
+
+def _bucket_aggs_oracle_sql() -> str:
+    rvals = ", ".join(
+        f"({i + 1}, '{k}', "
+        f"{'CAST(NULL AS DOUBLE)' if lo is None else float(lo)}, "
+        f"{'CAST(NULL AS DOUBLE)' if hi is None else float(hi)})"
+        for i, (k, lo, hi) in enumerate(RANGE_SPEC))
+    fcase = ", ".join(
+        f"CAST(sum(CASE WHEN {expr} THEN 1 ELSE 0 END) AS BIGINT) AS __f{i}"
+        for i, (_, expr) in enumerate(FILTERS_SPEC))
+    funion = "\nUNION ALL\n".join(
+        f"SELECT query_id, '{name}' AS bucket, __f{i} AS doc_count, "
+        f"CAST({i + 1} AS BIGINT) AS brank FROM fagg"
+        for i, (name, _) in enumerate(FILTERS_SPEC))
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, m AS (SELECT DISTINCT query_id, docid FROM scored)
+, j AS (
+  SELECT m.query_id, dl.dl, i.url,
+         regexp_extract(i.url, '{FACET_RE}', 1) AS src,
+         CAST(floor(dl.dl / {HIST_INTERVAL}.0) AS BIGINT)
+           * {HIST_INTERVAL} AS hb
+  FROM m JOIN ids i USING (docid) JOIN dl USING (docid)
+), qids AS (SELECT DISTINCT query_id FROM qraw)
+, hcounts AS (
+  SELECT query_id, hb, CAST(count(*) AS BIGINT) AS doc_count
+  FROM j GROUP BY query_id, hb
+), ranges AS (
+  SELECT * FROM (VALUES {rvals}) AS r(brank, bucket, lo, hi)
+), rcounts AS (
+  SELECT j.query_id, r.brank, r.bucket,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM j JOIN ranges r
+    ON (r.lo IS NULL OR j.dl >= r.lo) AND (r.hi IS NULL OR j.dl < r.hi)
+  GROUP BY j.query_id, r.brank, r.bucket
+), fagg AS (
+  SELECT q.query_id, {fcase}
+  FROM qids q LEFT JOIN j USING (query_id) GROUP BY q.query_id
+), ckey AS (
+  SELECT query_id, src AS k1, hb AS k2,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM j GROUP BY query_id, src, hb
+), cranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY k1, k2) AS BIGINT) AS rn
+  FROM ckey
+)
+SELECT 'hist' AS agg_kind, query_id, CAST(hb AS VARCHAR) AS bucket,
+       doc_count,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY hb)
+            AS BIGINT) AS brank
+FROM hcounts
+UNION ALL
+SELECT 'range', q.query_id, r.bucket,
+       coalesce(c.doc_count, 0), CAST(r.brank AS BIGINT)
+FROM qids q CROSS JOIN ranges r
+LEFT JOIN rcounts c
+  ON c.query_id = q.query_id AND c.brank = r.brank
+UNION ALL
+SELECT 'filters', query_id, bucket, doc_count, brank FROM ({funion}) fz
+UNION ALL
+SELECT 'comp1', query_id, k1 || '|' || CAST(k2 AS VARCHAR), doc_count, rn
+FROM cranked WHERE rn <= {COMP_PAGE}
+UNION ALL
+SELECT 'comp2', query_id, k1 || '|' || CAST(k2 AS VARCHAR), doc_count,
+       rn - {COMP_PAGE}
+FROM cranked WHERE rn > {COMP_PAGE} AND rn <= {2 * COMP_PAGE}
+"""
+
+
+def q_agg_quantiles_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5 (round-7 fold, one tagged union): exact percentiles
+    (kind='quant') and cube-with-margins (kind='cube') — both
+    constituents keep their full oracle check; 0/0.0 fillers instead
+    of NULLs so the value hash is engine-stable."""
+    q = (q_agg_quantiles(spark, sf_dir)
+         .select(F.lit("quant").alias("kind"),
+                 F.col("o_orderpriority").alias("k1"),
+                 F.lit("").alias("k2"),
+                 F.lit(0).cast("long").alias("n_docs"),
+                 F.col("p50").alias("v1"), F.col("p95").alias("v2")))
+    c = (q_agg_cube(spark, sf_dir)
+         .select(F.lit("cube").alias("kind"), F.col("lang").alias("k1"),
+                 F.col("source").alias("k2"), F.col("n_docs"),
+                 F.col("avg_chars").alias("v1"),
+                 F.lit(0.0).alias("v2")))
+    return q.unionByName(c)
+
+
+SQL_AGG_QUANTILES_CUBE = f"""
+SELECT 'quant' AS kind, o_orderpriority AS k1, '' AS k2,
+       CAST(0 AS BIGINT) AS n_docs, p50 AS v1, p95 AS v2
+FROM ({SQL_AGG_QUANTILES}) qz
+UNION ALL
+SELECT 'cube', lang, source, n_docs, avg_chars, 0.0
+FROM ({SQL_AGG_CUBE}) cz
+"""
+
+
+
+
+# ---------------------------------------------------------------------------
+# Q34: ES pipeline aggs — cumulative_sum / derivative / bucket_sort
+# over a date_histogram parent
+# ---------------------------------------------------------------------------
+
+PIPE_TOP_N = 50
+
+
+def q_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q34: pipeline aggregations over the Q22 date_histogram —
+    running cumulative_sum and bucket-over-bucket derivative across
+    key-asc calendar-minute buckets (first bucket reports deriv 0,
+    the NULL-free sentinel for ES's omitted key), then bucket_sort by
+    (doc_count desc, bucket asc) truncated to PIPE_TOP_N. Integer and
+    string values only — no FP."""
+    from .operators.eslayer import search_pipeline_aggs
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
+                                "query_id long, qtext string")
+    return search_pipeline_aggs(spark, idx, qdf, interval="minute",
+                                top_n=PIPE_TOP_N)
+
+
+def _pipeline_aggs_oracle_sql() -> str:
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, m AS (SELECT DISTINCT query_id, docid FROM scored)
+, dbk AS (
+  SELECT m.query_id,
+         strftime(date_trunc('minute', TIMESTAMP '2026-01-01 00:00:00'
+                  + to_seconds(CAST(split_part(i.url, '/', 5) AS BIGINT))),
+                  '%Y-%m-%d %H:%M:%S') AS bucket
+  FROM m JOIN ids i USING (docid)
+), counts AS (
+  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS doc_count
+  FROM dbk GROUP BY query_id, bucket
+), piped AS (
+  SELECT query_id, bucket, doc_count,
+         CAST(sum(doc_count) OVER (PARTITION BY query_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_sum,
+         CAST(coalesce(doc_count - lag(doc_count) OVER (
+              PARTITION BY query_id ORDER BY bucket), 0) AS BIGINT)
+           AS deriv,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY bucket)
+              AS BIGINT) AS brank,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY doc_count DESC, bucket) AS BIGINT) AS srank
+  FROM counts
+)
+SELECT query_id, bucket, doc_count, cum_sum, deriv, brank, srank
+FROM piped WHERE srank <= {PIPE_TOP_N}
+"""
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+W3+W4+W5 (round-7 fold, one tagged union): top-3-per-group
+    rank + running sum (op='rr') beside the ntile/lag arms — every
+    constituent keeps its full oracle check; 0/0.0 fillers instead of
+    NULLs so the value hash is engine-stable."""
+    rr = (q_window_rank_runsum(spark, sf_dir)
+          .select(F.lit("rr").alias("op"),
+                  F.col("o_custkey").cast("long").alias("k1"),
+                  F.col("o_orderkey").cast("long").alias("k2"),
+                  F.col("rnk").alias("n"),
+                  F.col("price").alias("v1"),
+                  F.col("running_total").alias("v2")))
+    nl = (q_window_ntile_lag(spark, sf_dir)
+          .select("op", F.col("k").alias("k1"),
+                  F.lit(0).cast("long").alias("k2"), "n",
+                  F.col("v").alias("v1"), F.lit(0.0).alias("v2")))
+    return rr.unionByName(nl)
+
+
+SQL_WINDOW_FUNCS = f"""
+SELECT 'rr' AS op, CAST(o_custkey AS BIGINT) AS k1,
+       CAST(o_orderkey AS BIGINT) AS k2, rnk AS n, price AS v1,
+       running_total AS v2
+FROM ({SQL_WINDOW_RANK_RUNSUM}) rz
+UNION ALL
+SELECT op, k AS k1, CAST(0 AS BIGINT) AS k2, n, v AS v1, 0.0 AS v2
+FROM ({SQL_WINDOW_NTILE_LAG}) nz
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -2225,6 +2463,8 @@ QUERIES: dict[str, callable] = {
     "index_stats": q_index_stats,
     "incremental_chain": q_incremental_chain,
     "es_top_hits": q_es_top_hits,
+    "es_bucket_aggs": q_es_bucket_aggs,
+    "es_pipeline_aggs": q_es_pipeline_aggs,
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2242,10 +2482,8 @@ QUERIES: dict[str, callable] = {
     "join_bcast_smj": q_join_bcast_smj,
     "join_semi_anti": q_join_semi_anti,
     "agg_pricing_summary": q_agg_pricing_summary,
-    "agg_quantiles": q_agg_quantiles,
-    "agg_cube": q_agg_cube,
-    "window_rank_runsum": q_window_rank_runsum,
-    "window_ntile_lag": q_window_ntile_lag,
+    "agg_quantiles_cube": q_agg_quantiles_cube,
+    "window_funcs": q_window_funcs,
     "topk_global": q_topk_global,
     "set_ops": q_set_ops,
 }
@@ -2259,6 +2497,8 @@ ORACLES: dict[str, str] = {
     "index_stats": SQL_INDEX_STATS,
     "incremental_chain": _incremental_chain_oracle_sql(),
     "es_top_hits": _top_hits_oracle_sql(),
+    "es_bucket_aggs": _bucket_aggs_oracle_sql(),
+    "es_pipeline_aggs": _pipeline_aggs_oracle_sql(),
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),
@@ -2280,10 +2520,8 @@ ORACLES: dict[str, str] = {
     "join_bcast_smj": SQL_JOIN_BCAST_SMJ,
     "join_semi_anti": SQL_JOIN_SEMI_ANTI,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
-    "agg_quantiles": SQL_AGG_QUANTILES,
-    "agg_cube": SQL_AGG_CUBE,
-    "window_rank_runsum": SQL_WINDOW_RANK_RUNSUM,
-    "window_ntile_lag": SQL_WINDOW_NTILE_LAG,
+    "agg_quantiles_cube": SQL_AGG_QUANTILES_CUBE,
+    "window_funcs": SQL_WINDOW_FUNCS,
     "topk_global": SQL_TOPK_GLOBAL,
     "set_ops": SQL_SET_OPS,
 }

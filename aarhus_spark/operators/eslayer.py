@@ -38,6 +38,16 @@ of each, built over the engine's own artifacts:
 - :func:`search_rescore` — ES ``rescore`` with a ``match_phrase``
   secondary: the top ``window_size`` BM25 hits are re-ranked by
   ``query_weight·bm25 + rescore_weight·phrase_score``.
+- :func:`search_histogram` / :func:`search_range_agg` /
+  :func:`search_filters_agg` — the remaining ES *bucket* aggs:
+  fixed-interval numeric histogram (key-asc, min_doc_count 1),
+  declared ranges (from-inclusive/to-exclusive, empty buckets kept),
+  and keyed named filters (one codegen'd hash agg, all CASE columns).
+- :func:`search_composite` — ES ``composite`` agg: bucket tuples over
+  two sources in composite-key order with ``after`` keyset paging.
+- :func:`search_pipeline_aggs` — ES *pipeline* aggs over a
+  date_histogram parent: ``cumulative_sum``, ``derivative``,
+  ``bucket_sort`` — computed on the reduced bucket rows, as in ES.
 
 Everything stays JVM-side (built-in column functions); the only
 driver-side work is per-query term selection for MLT (one indexed
@@ -638,3 +648,191 @@ def search_top_hits(spark: SparkSession, index_dir, queries: DataFrame,
     return (hits.join(F.broadcast(kept), ["query_id", "bucket"])
             .select("query_id", "bucket", "doc_count", "brank", "hrank",
                     "docid", F.col("__key").alias("score")))
+
+
+def search_histogram(spark: SparkSession, index_dir, queries: DataFrame,
+                     interval: int = 25, n_buckets: int = 10000,
+                     **bool_kwargs) -> DataFrame:
+    """ES ``aggs: {histogram: {field: dl, interval: N}}`` alongside a
+    query: fixed-width numeric buckets over the matched docs' doc
+    length — ``key = floor(dl / interval) * interval`` (ES's histogram
+    key formula), buckets ordered by KEY ascending, empty buckets
+    omitted (``min_doc_count: 1``).
+
+    Plan shape: identical to :func:`search_facets` — the matched set
+    equi-joins the doclens sink on docid (shuffle join, AQE-eligible),
+    the bucket key is one JVM expression, then a hash agg and a tiny
+    per-query window. Returns (query_id, bucket, doc_count, brank)."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select("docid", "dl")
+    counts = (matched.join(meta, "docid")
+              .withColumn("bucket", (F.floor(F.col("dl") / interval)
+                                     * interval).cast("long"))
+              .groupBy("query_id", "bucket")
+              .agg(F.count("*").alias("doc_count")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("bucket"))
+    return (counts.withColumn("brank", F.row_number().over(w).cast("long"))
+            .filter(F.col("brank") <= n_buckets)
+            .select("query_id", "bucket", "doc_count", "brank"))
+
+
+def search_range_agg(spark: SparkSession, index_dir, queries: DataFrame,
+                     ranges: list, **bool_kwargs) -> DataFrame:
+    """ES ``aggs: {range: {field: dl, ranges: [...]}}``: each range is
+    ``(key, lo, hi)`` with ``from`` INCLUSIVE, ``to`` EXCLUSIVE and
+    ``None`` for an open end — ES's exact range-agg bounds. EVERY
+    declared range comes back (ES returns empty buckets for the range
+    agg — unlike terms/histogram there is no ``min_doc_count`` cut),
+    ``brank`` = the declaration position, for every query in the input
+    (a query with zero matches still reports all its ranges at 0).
+
+    Plan shape: the ranges list is tiny and broadcast — the theta join
+    against the matched⋈doclens rows is a BroadcastNestedLoopJoin over
+    |ranges| rows (ranges may overlap, as in ES, so this is NOT an
+    equi-join); the zero-fill grid is |queries|×|ranges|, also
+    broadcast. Nothing here grows with the corpus except the matched
+    set itself."""
+    rows = [(i + 1, key,
+             float(lo) if lo is not None else None,
+             float(hi) if hi is not None else None)
+            for i, (key, lo, hi) in enumerate(ranges)]
+    rdf = spark.createDataFrame(
+        rows, "brank long, bucket string, lo double, hi double")
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select("docid", "dl")
+    j = matched.join(meta, "docid")
+    cond = ((F.col("lo").isNull() | (F.col("dl") >= F.col("lo")))
+            & (F.col("hi").isNull() | (F.col("dl") < F.col("hi"))))
+    counts = (j.join(F.broadcast(rdf), cond)
+              .groupBy("query_id", "brank", "bucket")
+              .agg(F.count("*").alias("doc_count")))
+    grid = (queries.select("query_id").distinct()
+            .crossJoin(F.broadcast(rdf.select("brank", "bucket"))))
+    return (grid.join(counts, ["query_id", "brank", "bucket"], "left")
+            .select("query_id", "bucket",
+                    F.coalesce("doc_count", F.lit(0)).cast("long")
+                    .alias("doc_count"),
+                    "brank"))
+
+
+def search_filters_agg(spark: SparkSession, index_dir, queries: DataFrame,
+                       filters: dict, **bool_kwargs) -> DataFrame:
+    """ES keyed ``filters`` agg: named sub-buckets, each counting the
+    matched docs satisfying its predicate — a SQL expression over the
+    doc-meta columns (docid, url, dl, warc_ts). Every named bucket is
+    returned (count 0 included — ES keyed-filters semantics), ``brank``
+    = declaration order.
+
+    Plan shape: ONE hash aggregation — each filter becomes a
+    ``sum(CASE WHEN … )`` column in the same codegen'd agg (no
+    per-filter pass over the match set), then a driver-free unpivot to
+    (bucket, doc_count) rows and a zero-fill left join from the query
+    list."""
+    names = list(filters)
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir)
+    j = matched.join(meta, "docid")
+    agg = j.groupBy("query_id").agg(*[
+        F.sum(F.when(F.expr(filters[n]), 1).otherwise(0)).cast("long")
+        .alias(f"__f{i}") for i, n in enumerate(names)])
+    grid = queries.select("query_id").distinct()
+    agg = grid.join(agg, "query_id", "left")
+    stacked = agg.unpivot(
+        ["query_id"], [f"__f{i}" for i in range(len(names))],
+        "fidx", "doc_count")
+    bucket = F.coalesce(*[F.when(F.col("fidx") == f"__f{i}", F.lit(n))
+                          for i, n in enumerate(names)])
+    brank = F.coalesce(*[F.when(F.col("fidx") == f"__f{i}", F.lit(i + 1))
+                         for i in range(len(names))]).cast("long")
+    return stacked.select(
+        "query_id", bucket.alias("bucket"),
+        F.coalesce(F.col("doc_count"), F.lit(0)).cast("long")
+        .alias("doc_count"),
+        brank.alias("brank"))
+
+
+def search_composite(spark: SparkSession, index_dir, queries: DataFrame,
+                     page_size: int = 10, after: DataFrame | None = None,
+                     bucket_regex: str = HOST_RE, interval: int = 25,
+                     **bool_kwargs) -> DataFrame:
+    """ES ``composite`` agg over two sources — a url-derived terms
+    source (``bucket_regex`` group 1) and a dl histogram source —
+    paging bucket TUPLES in composite-key order (k1 asc, k2 asc) with
+    an ``after`` keyset cursor, exactly ES's scalable
+    "stream every bucket out" API (the agg counterpart of Q19
+    ``search_after``: deep pages never recount earlier buckets).
+
+    ``after`` is (query_id, after_k1, after_k2) — the composite key of
+    the previous page's LAST bucket; queries without a cursor row
+    start at the first bucket. Both keys are integers/strings, so
+    the cursor comparison is exact across engines (no FP).
+
+    Plan shape: one matched⋈doclens join, one hash agg on (query_id,
+    k1, k2), the broadcast cursor filter BEFORE the per-query window —
+    the window ranks only buckets past the cursor. Returns
+    (query_id, k1, k2, doc_count, brank)."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select(
+        "docid",
+        F.regexp_extract("url", bucket_regex, 1).alias("k1"),
+        (F.floor(F.col("dl") / interval) * interval).cast("long")
+        .alias("k2"))
+    counts = (matched.join(meta, "docid")
+              .groupBy("query_id", "k1", "k2")
+              .agg(F.count("*").alias("doc_count")))
+    if after is not None:
+        counts = (counts.join(F.broadcast(after), "query_id", "left")
+                  .filter(F.col("after_k1").isNull()
+                          | (F.col("k1") > F.col("after_k1"))
+                          | ((F.col("k1") == F.col("after_k1"))
+                             & (F.col("k2") > F.col("after_k2"))))
+                  .drop("after_k1", "after_k2"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("k1"), F.asc("k2"))
+    return (counts.withColumn("brank", F.row_number().over(w).cast("long"))
+            .filter(F.col("brank") <= page_size)
+            .select("query_id", "k1", "k2", "doc_count", "brank"))
+
+
+def search_pipeline_aggs(spark: SparkSession, index_dir,
+                         queries: DataFrame, interval: str = "minute",
+                         top_n: int | None = None,
+                         **bool_kwargs) -> DataFrame:
+    """ES *pipeline* aggregations over a date_histogram parent: for
+    each calendar bucket of the matched docs, ``cumulative_sum`` of
+    doc_count (running total across key-asc buckets), ``derivative``
+    (doc_count minus the previous bucket's; the first bucket — where
+    ES omits the derivative key entirely — reports 0, a deterministic
+    NULL-free sentinel for the same fact), and ``bucket_sort`` by
+    (doc_count desc, bucket asc) truncated to ``top_n`` buckets
+    (``None`` keeps all). ``brank`` is the key-asc position the
+    pipeline aggs are defined over, ``srank`` the bucket_sort rank.
+
+    Plan shape: the Q22 date-histogram agg (matched ⋈ doclens → hash
+    agg) followed by per-query windows over the BUCKET rows — a few
+    hundred rows per query, trivially small whatever the corpus size;
+    pipeline aggs in ES likewise run on the reduced buckets, never the
+    documents."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select(
+        "docid",
+        F.date_format(F.date_trunc(interval, "warc_ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+    counts = (matched.join(meta, "docid")
+              .groupBy("query_id", "bucket")
+              .agg(F.count("*").alias("doc_count")))
+    wk = Window.partitionBy("query_id").orderBy(F.asc("bucket"))
+    wcum = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_count"), F.asc("bucket"))
+    res = (counts
+           .withColumn("cum_sum", F.sum("doc_count").over(wcum)
+                       .cast("long"))
+           .withColumn("deriv", F.coalesce(
+               F.col("doc_count") - F.lag("doc_count", 1).over(wk),
+               F.lit(0)).cast("long"))
+           .withColumn("brank", F.row_number().over(wk).cast("long"))
+           .withColumn("srank", F.row_number().over(ws).cast("long")))
+    if top_n is not None:
+        res = res.filter(F.col("srank") <= top_n)
+    return res.select("query_id", "bucket", "doc_count", "cum_sum",
+                      "deriv", "brank", "srank")

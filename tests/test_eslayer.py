@@ -486,3 +486,150 @@ def test_top_hits_vs_python_twin(spark, eidx):
                        for i, (s, d) in enumerate(top))
     assert got == sorted(exp)
     assert len(got) > 0
+
+
+def test_histogram_vs_python_twin(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_histogram
+    out, oidx, _, _ = eidx
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_histogram(spark, out, qdf, interval=10)
+    got = sorted((r["query_id"], r["bucket"], r["doc_count"], r["brank"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        counts = Counter(int(oidx.dls[d]) // 10 * 10
+                         for d in _all_matches(oidx, qtext))
+        exp.extend((qid, b, c, i + 1)
+                   for i, (b, c) in enumerate(sorted(counts.items())))
+    assert got == sorted(exp)
+    assert len(got) > 0
+
+
+def test_range_agg_empty_buckets_kept(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_range_agg
+    out, oidx, _, _ = eidx
+    # last range deliberately empty (no fixture doc is that long);
+    # ranges overlap (0-30 ⊂ *-30's tail) — ES allows overlap and a
+    # doc then counts in BOTH, which an equi-join shape would miss
+    spec = [("*-30", None, 30), ("10-30", 10, 30), ("30-*", 30, None),
+            ("9000-*", 9000, None)]
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_range_agg(spark, out, qdf, spec)
+    got = sorted((r["query_id"], r["bucket"], r["doc_count"], r["brank"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        dls = [int(oidx.dls[d]) for d in _all_matches(oidx, qtext)]
+        for i, (key, lo, hi) in enumerate(spec):
+            n = sum(1 for dl in dls
+                    if (lo is None or dl >= lo) and (hi is None or dl < hi))
+            exp.append((qid, key, n, i + 1))
+    assert got == sorted(exp)
+    # the empty range must be PRESENT at 0 for every query
+    assert all((qid, "9000-*", 0, 4) in got for qid, _ in QUERIES)
+    # the overlap is load-bearing: some doc counted twice
+    tot = {qid: sum(c for q, _, c, _ in got if q == qid) for qid, _ in QUERIES}
+    n_match = {qid: len(_all_matches(oidx, qt)) for qid, qt in QUERIES}
+    assert any(tot[q] > n_match[q] for q, _ in QUERIES)
+
+
+def test_filters_agg_vs_python_twin(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_filters_agg
+    out, oidx, _, _ = eidx
+    filters = {"short": "dl < 20", "long": "dl >= 20",
+               "u3": "url LIKE '%3'"}
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_filters_agg(spark, out, qdf, filters)
+    got = sorted((r["query_id"], r["bucket"], r["doc_count"], r["brank"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        ds = list(_all_matches(oidx, qtext))
+        exp.append((qid, "short",
+                    sum(1 for d in ds if oidx.dls[d] < 20), 1))
+        exp.append((qid, "long",
+                    sum(1 for d in ds if oidx.dls[d] >= 20), 2))
+        exp.append((qid, "u3",
+                    sum(1 for d in ds if oidx.urls[d].endswith("3")), 3))
+    assert got == sorted(exp)
+
+
+def test_composite_paging_vs_python_twin(spark, eidx):
+    """Every bucket tuple streams out across after-key pages, in
+    composite-key order, each exactly once — including a final
+    short page."""
+    import pyspark.sql.functions as F
+    from aarhus_spark.operators.eslayer import search_composite
+    out, oidx, _, _ = eidx
+    host_re = re.compile(HOST_RE)
+    # size the page so the longest query streams in ~5 pages (each
+    # page is a full Spark job) and the last page is short
+    n_buckets = max(
+        len({(host_re.match(oidx.urls[d]).group(1),
+              int(oidx.dls[d]) // 10 * 10)
+             for d in _all_matches(oidx, qtext)})
+        for _, qtext in QUERIES)
+    page = n_buckets // 5 + 1
+    assert n_buckets % page, "last page would be full — pick a new page"
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    pages, cur, qcur = [], None, qdf
+    for _ in range(10):
+        p = search_composite(spark, out, qcur, page_size=page, after=cur,
+                             interval=10).collect()
+        if not p:
+            break
+        pages.extend(p)
+        full = {}
+        for r in p:
+            if r["brank"] == page:
+                full[r["query_id"]] = (r["k1"], r["k2"])
+        if not full:
+            break
+        cur = spark.createDataFrame(
+            [(q, k1, k2) for q, (k1, k2) in sorted(full.items())],
+            "query_id long, after_k1 string, after_k2 long")
+        qcur = qdf.join(cur, "query_id", "left_semi")
+    got = sorted((r["query_id"], r["k1"], r["k2"], r["doc_count"])
+                 for r in pages)
+    exp = []
+    for qid, qtext in QUERIES:
+        counts = Counter(
+            (host_re.match(oidx.urls[d]).group(1),
+             int(oidx.dls[d]) // 10 * 10)
+            for d in _all_matches(oidx, qtext))
+        exp.extend((qid, k1, k2, c) for (k1, k2), c in counts.items())
+    assert got == sorted(exp)
+    assert len(got) > 0
+
+
+def test_pipeline_aggs_vs_python_twin(spark, eidx):
+    import datetime as dt
+    from aarhus_spark.operators.eslayer import search_pipeline_aggs
+    out, oidx, _, ddf = eidx
+    ts_by_url = dict(zip(ddf["url"], ddf["warc_ts"]))
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_pipeline_aggs(spark, out, qdf, interval="minute",
+                               top_n=4)
+    got = sorted((r["query_id"], r["bucket"], r["doc_count"],
+                  r["cum_sum"], r["deriv"], r["brank"], r["srank"])
+                 for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        counts = Counter(
+            ts_by_url[oidx.urls[d]].replace(second=0, microsecond=0)
+            for d in _all_matches(oidx, qtext))
+        rows, cum, prev = [], 0, None
+        for i, (b, c) in enumerate(sorted(counts.items())):
+            cum += c
+            rows.append([qid, b.strftime("%Y-%m-%d %H:%M:%S"), c, cum,
+                         0 if prev is None else c - prev, i + 1])
+            prev = c
+        order = sorted(range(len(rows)),
+                       key=lambda i: (-rows[i][2], rows[i][1]))
+        for srank, i in enumerate(order, 1):
+            if srank <= 4:
+                exp.append(tuple(rows[i] + [srank]))
+    assert got == sorted(exp)
+    assert len(got) > 0
+    # derivative sentinel: every first (brank=1) bucket reports 0
+    assert all(d == 0 for _, _, _, _, d, b, _ in got if b == 1)
