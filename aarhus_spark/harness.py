@@ -2451,6 +2451,53 @@ FROM ({SQL_WINDOW_NTILE_LAG}) nz
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q35: field collapse + inner_hits
+# ---------------------------------------------------------------------------
+
+COLLAPSE_K = 6
+COLLAPSE_INNER = 2
+
+
+def q_es_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q35: ES field ``collapse`` on the url's source segment with
+    ``inner_hits`` — top COLLAPSE_K distinct keys per query ordered by
+    their best hit (rounded-key rank, the Q19 contract), each carrying
+    its top COLLAPSE_INNER member hits."""
+    from .operators.eslayer import search_collapse
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
+                                "query_id long, qtext string")
+    return search_collapse(spark, idx, qdf, k=COLLAPSE_K,
+                           inner_k=COLLAPSE_INNER,
+                           collapse_regex=FACET_RE, round_to=6)
+
+
+def _collapse_oracle_sql() -> str:
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, j AS (
+  SELECT s.query_id, s.docid, round(s.score, 6) AS score_r,
+         regexp_extract(i.url, '{FACET_RE}', 1) AS ckey
+  FROM scored s JOIN ids i USING (docid)
+), hits AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id, ckey
+        ORDER BY score_r DESC, docid) AS BIGINT) AS hrank
+  FROM j
+), groups AS (
+  SELECT query_id, ckey,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_r DESC, docid) AS BIGINT) AS rank
+  FROM hits WHERE hrank = 1
+)
+SELECT h.query_id, g.rank, h.ckey, h.hrank, h.docid,
+       h.score_r AS score
+FROM hits h JOIN groups g ON h.query_id = g.query_id AND h.ckey = g.ckey
+WHERE g.rank <= {COLLAPSE_K} AND h.hrank <= {COLLAPSE_INNER}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -2465,6 +2512,7 @@ QUERIES: dict[str, callable] = {
     "es_top_hits": q_es_top_hits,
     "es_bucket_aggs": q_es_bucket_aggs,
     "es_pipeline_aggs": q_es_pipeline_aggs,
+    "es_collapse": q_es_collapse,
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2499,6 +2547,7 @@ ORACLES: dict[str, str] = {
     "es_top_hits": _top_hits_oracle_sql(),
     "es_bucket_aggs": _bucket_aggs_oracle_sql(),
     "es_pipeline_aggs": _pipeline_aggs_oracle_sql(),
+    "es_collapse": _collapse_oracle_sql(),
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),

@@ -934,6 +934,27 @@ def q_postings_codec_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"), F.sum("n").alias("n_postings"))
 
 
+
+
+def q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN sign-LSH + IVF (round-7 fold, one tagged union): both
+    approximate paths keep their full oracle check — identical output
+    shape (qid, rank, vec_id, cos_r), one path tag."""
+    import pyspark.sql.functions as F
+    lsh = (q_ann_lsh_bucket(spark, sf_dir)
+           .select(F.lit("lsh").alias("path"), "*"))
+    ivf = (q_ann_ivf(spark, sf_dir)
+           .select(F.lit("ivf").alias("path"), "*"))
+    return lsh.unionByName(ivf)
+
+
+SQL_ANN_LSH_IVF = f"""
+SELECT 'lsh' AS path, * FROM ({SQL_ANN_LSH_BUCKET}) lz
+UNION ALL
+SELECT 'ivf' AS path, * FROM ({SQL_ANN_IVF}) iz
+"""
+
+
 QUERIES2 = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -941,8 +962,7 @@ QUERIES2 = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_lsh_bucket": q_ann_lsh_bucket,
-    "ann_ivf": q_ann_ivf,
+    "ann_lsh_ivf": q_ann_lsh_ivf,
     "text_langid_quality": q_text_langid_quality,
     "text_token_fingerprint": q_text_token_fingerprint,
     "multimodal_meta": q_multimodal_meta,
@@ -964,8 +984,7 @@ ORACLES2 = {
     "dedup_simhash": _simhash_duck(),
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-    "ann_lsh_bucket": SQL_ANN_LSH_BUCKET,
-    "ann_ivf": SQL_ANN_IVF,
+    "ann_lsh_ivf": SQL_ANN_LSH_IVF,
     "text_langid_quality": SQL_TEXT_LANGID_QUALITY,
     "text_token_fingerprint": SQL_TEXT_TOKEN_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,

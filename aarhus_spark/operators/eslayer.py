@@ -48,6 +48,8 @@ of each, built over the engine's own artifacts:
 - :func:`search_pipeline_aggs` — ES *pipeline* aggs over a
   date_histogram parent: ``cumulative_sum``, ``derivative``,
   ``bucket_sort`` — computed on the reduced bucket rows, as in ES.
+- :func:`search_collapse` — ES field ``collapse`` + ``inner_hits``:
+  one representative hit per collapse key, top inner hits per group.
 
 Everything stays JVM-side (built-in column functions); the only
 driver-side work is per-query term selection for MLT (one indexed
@@ -836,3 +838,46 @@ def search_pipeline_aggs(spark: SparkSession, index_dir,
         res = res.filter(F.col("srank") <= top_n)
     return res.select("query_id", "bucket", "doc_count", "cum_sum",
                       "deriv", "brank", "srank")
+
+
+def search_collapse(spark: SparkSession, index_dir, queries: DataFrame,
+                    k: int = TOP_K, inner_k: int = 3,
+                    collapse_regex: str = HOST_RE,
+                    round_to: int | None = None,
+                    **bool_kwargs) -> DataFrame:
+    """ES field ``collapse`` + ``inner_hits``: the result list is
+    deduplicated to ONE representative hit per collapse key (the
+    group's best hit by the sort key), the top ``k`` groups are
+    returned ordered by their representative's key — ES collapse
+    semantics: a strong group can hide weaker docs of the same key,
+    and the k results are k DISTINCT keys — and each returned group
+    carries its top ``inner_k`` member hits (``inner_hits``), ranked
+    within the group.
+
+    ``round_to`` ranks on the rounded score (the Q19 cross-engine
+    contract). Plan shape: matched ⋈ doclens, ONE per-(query, key)
+    window for both the representative choice and the inner-hit ranks,
+    a per-query window over the representatives only (one row per
+    group — already reduced), and a tiny broadcast join back. Returns
+    (query_id, rank, ckey, hrank, docid, score): rank = the group's
+    position, hrank = the hit's rank inside its group (hrank 1 IS the
+    representative)."""
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir).select(
+        "docid", F.regexp_extract("url", collapse_regex, 1).alias("ckey"))
+    key = (F.round(F.col("score"), round_to) if round_to is not None
+           else F.col("score"))
+    j = matched.join(meta, "docid").withColumn("__key", key)
+    wg = Window.partitionBy("query_id", "ckey").orderBy(
+        F.desc("__key"), F.asc("docid"))
+    hits = j.withColumn("hrank", F.row_number().over(wg).cast("long"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__key"), F.asc("docid"))
+    groups = (hits.filter(F.col("hrank") == 1)
+              .withColumn("rank", F.row_number().over(wq).cast("long"))
+              .filter(F.col("rank") <= k)
+              .select("query_id", "ckey", "rank"))
+    return (hits.filter(F.col("hrank") <= inner_k)
+            .join(F.broadcast(groups), ["query_id", "ckey"])
+            .select("query_id", "rank", "ckey", "hrank", "docid",
+                    F.col("__key").alias("score")))

@@ -633,3 +633,38 @@ def test_pipeline_aggs_vs_python_twin(spark, eidx):
     assert len(got) > 0
     # derivative sentinel: every first (brank=1) bucket reports 0
     assert all(d == 0 for _, _, _, _, d, b, _ in got if b == 1)
+
+
+def test_collapse_vs_python_twin(spark, eidx):
+    """Collapse = k DISTINCT keys per query ordered by their best hit;
+    inner hits ranked within each group; hrank 1 is the
+    representative. A strong group must hide weaker same-key docs."""
+    from aarhus_spark.operators.eslayer import search_collapse
+    out, oidx, _, _ = eidx
+    host_re = re.compile(HOST_RE)
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_collapse(spark, out, qdf, k=3, inner_k=2, round_to=6)
+    got = sorted((r["query_id"], r["rank"], r["ckey"], r["hrank"],
+                  r["docid"], r["score"]) for r in res.collect())
+    exp = []
+    for qid, qtext in QUERIES:
+        m = _all_matches(oidx, qtext)
+        groups = {}
+        for d, s in m.items():
+            groups.setdefault(host_re.match(oidx.urls[d]).group(1),
+                              []).append((round(s, 6), d))
+        reps = sorted(((max((s, -d) for s, d in hs), ck)
+                       for ck, hs in groups.items()), reverse=True)
+        for rank, (_, ck) in enumerate(reps[:3], 1):
+            inner = sorted(groups[ck], key=lambda x: (-x[0], x[1]))[:2]
+            exp.extend((qid, rank, ck, h + 1, d, s)
+                       for h, (s, d) in enumerate(inner))
+    assert got == sorted(exp)
+    assert len(got) > 0
+    # distinct-keys contract: per (query, rank) exactly one ckey, and
+    # every returned key distinct within a query
+    per_q = {}
+    for q, rank, ck, h, _, _ in got:
+        if h == 1:
+            per_q.setdefault(q, []).append(ck)
+    assert all(len(v) == len(set(v)) for v in per_q.values())
