@@ -2498,6 +2498,54 @@ WHERE g.rank <= {COLLAPSE_K} AND h.hrank <= {COLLAPSE_INNER}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q36: explain — per-term BM25 score breakdown per hit
+# ---------------------------------------------------------------------------
+
+def q_es_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q36: ES ``explain: true`` — for each top-10 hit of the flagship
+    queries, the per-matching-term breakdown (tf, df, idf, tf norm,
+    contribution) recomputed from the engine's own sinks; both engines
+    evaluate the identical fixed-parenthesization expression and round
+    to 9 (the MLT/JLH cross-engine precedent), ranks on the rounded
+    retrieval score (the Q19 contract)."""
+    from .operators.eslayer import search_explain
+    idx = _ensure_index(spark, sf_dir)
+    qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
+                                "query_id long, qtext string")
+    return search_explain(spark, idx, qdf,
+                          pages_from_documents(spark, sf_dir),
+                          k=10, rank_round_to=6)
+
+
+def _explain_oracle_sql(k: int = 10) -> str:
+    return f"""{_disjunctive_scored_ctes(FLAGSHIP_QUERIES)}
+, ranked AS (
+  SELECT query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.rank, r.docid, t.term, t.tf, d.df,
+       round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 9) AS idf_r,
+       round(t.tf / (t.tf + {K1!r} * (1.0 - {B!r}
+             + {B!r} * dl.dl / s.avgdl)), 9) AS tfn_r,
+       round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * t.tf / (t.tf + {K1!r} * (1.0 - {B!r}
+             + {B!r} * dl.dl / s.avgdl)), 9) AS contrib_r,
+       r.score_r
+FROM ranked r
+JOIN tf t ON t.docid = r.docid
+JOIN qterms q ON q.query_id = r.query_id AND q.term = t.term
+JOIN dfs d ON d.term = t.term
+JOIN dl ON dl.docid = r.docid
+CROSS JOIN stats s
+WHERE r.rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -2513,6 +2561,7 @@ QUERIES: dict[str, callable] = {
     "es_bucket_aggs": q_es_bucket_aggs,
     "es_pipeline_aggs": q_es_pipeline_aggs,
     "es_collapse": q_es_collapse,
+    "es_explain": q_es_explain,
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2548,6 +2597,7 @@ ORACLES: dict[str, str] = {
     "es_bucket_aggs": _bucket_aggs_oracle_sql(),
     "es_pipeline_aggs": _pipeline_aggs_oracle_sql(),
     "es_collapse": _collapse_oracle_sql(),
+    "es_explain": _explain_oracle_sql(),
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),

@@ -955,12 +955,44 @@ SELECT 'ivf' AS path, * FROM ({SQL_ANN_IVF}) iz
 """
 
 
+
+
+def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard + embedding near-dup (round-7 fold, one tagged
+    union): both pair-similarity baselines keep their full oracle
+    check — (kind, rank, a, b, sim_r); the jaccard arm has no rank
+    (0 filler, its twin never ranked)."""
+    import pyspark.sql.functions as F
+    ng = (q_dedup_ngram_jaccard(spark, sf_dir)
+          .select(F.lit("ngram").alias("kind"),
+                  F.lit(0).cast("long").alias("rank"),
+                  F.col("doc_a").cast("long").alias("a"),
+                  F.col("doc_b").cast("long").alias("b"),
+                  F.col("jaccard_r").alias("sim_r")))
+    em = (q_dedup_embedding_cosine(spark, sf_dir)
+          .select(F.lit("cos").alias("kind"), "rank",
+                  F.col("va").cast("long").alias("a"),
+                  F.col("vb").cast("long").alias("b"),
+                  F.col("cos_r").alias("sim_r")))
+    return ng.unionByName(em)
+
+
+SQL_DEDUP_PAIRS = f"""
+SELECT 'ngram' AS kind, CAST(0 AS BIGINT) AS rank,
+       CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b,
+       jaccard_r AS sim_r
+FROM ({SQL_DEDUP_NGRAM_JACCARD}) nz
+UNION ALL
+SELECT 'cos', rank, CAST(va AS BIGINT), CAST(vb AS BIGINT), cos_r
+FROM ({SQL_DEDUP_EMBEDDING_COSINE}) ez
+"""
+
+
 QUERIES2 = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_pairs": q_dedup_pairs,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_ivf": q_ann_lsh_ivf,
     "text_langid_quality": q_text_langid_quality,
@@ -980,9 +1012,8 @@ QUERIES2 = {
 ORACLES2 = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _minhash_duck(),
-    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_pairs": SQL_DEDUP_PAIRS,
     "dedup_simhash": _simhash_duck(),
-    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_lsh_ivf": SQL_ANN_LSH_IVF,
     "text_langid_quality": SQL_TEXT_LANGID_QUALITY,

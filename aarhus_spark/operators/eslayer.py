@@ -50,6 +50,9 @@ of each, built over the engine's own artifacts:
   ``bucket_sort`` — computed on the reduced bucket rows, as in ES.
 - :func:`search_collapse` — ES field ``collapse`` + ``inner_hits``:
   one representative hit per collapse key, top inner hits per group.
+- :func:`search_explain` — ES ``explain: true``: the per-term BM25
+  breakdown (tf, df, idf, tf norm, contribution) per top-k hit,
+  recomputed from the engine's own sinks.
 
 Everything stays JVM-side (built-in column functions); the only
 driver-side work is per-query term selection for MLT (one indexed
@@ -881,3 +884,72 @@ def search_collapse(spark: SparkSession, index_dir, queries: DataFrame,
             .join(F.broadcast(groups), ["query_id", "ckey"])
             .select("query_id", "rank", "ckey", "hrank", "docid",
                     F.col("__key").alias("score")))
+
+
+def search_explain(spark: SparkSession, index_dir, queries: DataFrame,
+                   docs: DataFrame, k: int = TOP_K, round_to: int = 9,
+                   rank_round_to: int | None = None,
+                   n_ranges: int | None = None) -> DataFrame:
+    """ES ``explain: true`` analog: for each top-``k`` hit, the
+    per-term BM25 score breakdown ES prints — tf, df, the idf term,
+    the tf norm, and the term's contribution — recomputed from the
+    engine's OWN artifacts: df from the dictionary sink (``term IN``
+    pushdown, summed across a chain), dl from the doclens sink,
+    N/avgdl from the stats sink, per-hit tf by re-analyzing the hit's
+    stored text (the same field-data path the highlighter and
+    significant_terms use; tokenize = the frozen T(text) as built-in
+    column functions). Only matching terms appear — exactly the leaf
+    details ES's explanation tree carries for a sum-of-clauses query.
+
+    The contribution uses the scoring formula's exact parenthesization
+    ``idf · tf / (tf + k1·(1-b+b·dl/avgdl))`` so the value is
+    bit-reproducible by any engine evaluating the same expression;
+    ``round_to`` rounds the reported components, ``rank_round_to``
+    ranks hits on the rounded retrieval score (the Q19 cross-engine
+    contract). The full-precision contributions sum back to the hit's
+    retrieval score (pytest-pinned).
+
+    Plan shape: top-k retrieval, then k·|queries| hit rows join docs
+    and explode to matched tokens only (an equi-join against the
+    analyzed query terms prunes the token stream before the tf agg);
+    the dictionary lookup is a pushed point scan. Returns (query_id,
+    rank, docid, term, tf, df, idf_r, tfn_r, contrib_r, score_r)."""
+    from ..config import B, K1
+    from .search import _collect_terms, analyze_queries
+    top = search_topk(spark, index_dir, queries, k=k, n_ranges=n_ranges)
+    if rank_round_to is not None:
+        w0 = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", rank_round_to)), F.asc("docid"))
+        top = top.withColumn("rank", F.row_number().over(w0))
+    dirs = _as_dirs(index_dir)
+    n_docs, avgdl, _ = load_stats_multi(dirs)
+    qterms = analyze_queries(queries)
+    terms = _collect_terms(qterms)
+    dfs = None
+    for d in dirs:
+        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+                 .select("term", "df").filter(F.col("term").isin(terms)))
+        dfs = piece if dfs is None else dfs.unionByName(piece)
+    dfs = dfs.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    meta = _doc_meta(spark, index_dir).select("docid", "url", "dl")
+    hit = (top.join(meta, "docid")
+           .join(docs.select("url", "text"), "url"))
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: (t != F.lit("")) & (F.length(t) <= F.lit(64)))
+    tf = (hit.withColumn("term", F.explode(toks))
+          .join(F.broadcast(qterms), ["query_id", "term"])
+          .groupBy("query_id", "rank", "docid", "score", "dl", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    ex = tf.join(F.broadcast(dfs), "term")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + F.lit(K1) * (F.lit(1.0 - B)
+                            + F.lit(B) * F.col("dl") / F.lit(avgdl)))
+    return ex.select(
+        "query_id", "rank", "docid", "term", "tf", "df",
+        F.round(idf, round_to).alias("idf_r"),
+        F.round(F.col("tf") / denom, round_to).alias("tfn_r"),
+        F.round(idf * F.col("tf") / denom, round_to).alias("contrib_r"),
+        F.round("score", 6).alias("score_r"))

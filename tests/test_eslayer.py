@@ -668,3 +668,44 @@ def test_collapse_vs_python_twin(spark, eidx):
         if h == 1:
             per_q.setdefault(q, []).append(ck)
     assert all(len(v) == len(set(v)) for v in per_q.values())
+
+
+def test_explain_vs_python_twin(spark, eidx):
+    """Explain components recompute from the oracle index, and the
+    FULL-PRECISION per-term contributions must sum back to the hit's
+    retrieval score — the breakdown reconciles with ranking."""
+    from aarhus_spark.config import B, K1
+    from aarhus_spark.operators.eslayer import search_explain
+    from aarhus_spark.textops import tokenize
+    out, oidx, docs, _ = eidx
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    rows = search_explain(spark, out, qdf, docs, k=5,
+                          rank_round_to=6).collect()
+    assert rows
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["term"],
+                  r["tf"], r["df"], r["idf_r"], r["tfn_r"],
+                  r["contrib_r"], r["score_r"]) for r in rows)
+    exp = []
+    for qid, qtext in QUERIES:
+        m = _all_matches(oidx, qtext)
+        ranked = sorted(((round(s, 6), d) for d, s in m.items()),
+                        key=lambda x: (-x[0], x[1]))[:5]
+        qts = set(tokenize(qtext))
+        for rank, (s_r, d) in enumerate(ranked, 1):
+            toks = oidx.tokens[d]
+            dl = int(oidx.dls[d])
+            contribs = []
+            for t in sorted(qts):
+                tf = toks.count(t)
+                if not tf:
+                    continue
+                df = oidx.df[t]
+                idf = log(1.0 + (oidx.n_docs - df + 0.5) / (df + 0.5))
+                denom = tf + K1 * (1.0 - B + B * dl / oidx.avgdl)
+                contribs.append(idf * tf / denom)
+                exp.append((qid, rank, d, t, tf, df, round(idf, 9),
+                            round(tf / denom, 9),
+                            round(idf * tf / denom, 9), s_r))
+            # reconciliation: breakdown sums to the engine's score
+            assert sum(contribs) == pytest.approx(m[d], rel=1e-9)
+    assert got == sorted(exp)
