@@ -2546,6 +2546,128 @@ WHERE r.rank <= {k}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q37-Q39: span queries — span_near (ordered/unordered), span_not,
+# span_first
+# ---------------------------------------------------------------------------
+
+SPAN_NEAR_QUERIES = [(0, "join scan"), (1, "table merge")]
+SPAN_SLOP = 3
+SPAN_NOT_QUERIES = [(0, "hash join", "table")]
+SPAN_PRE = SPAN_POST = 3
+SPAN_FIRST_QUERIES = [(0, "data")]
+SPAN_FIRST_END = 4
+
+
+def q_bm25_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q37+Q38+Q39 (one tagged union): span_near ordered
+    (kind='near_o') and unordered (kind='near_u') at SPAN_SLOP,
+    span_not (exact include phrase, exclude term within ±3 positions,
+    kind='not'), span_first (term at position < 4, kind='first') —
+    each ranked by the rounded disjunctive BM25 over its positive
+    terms (the Q8 scoring contract). All four constraints verified
+    load-bearing at sf0.001 AND sf0.01 (ordered < unordered matches,
+    exclusion and the position bound each drop docs)."""
+    from .operators.spans import (search_span_first, search_span_near,
+                                  search_span_not)
+    idx = _ensure_index(spark, sf_dir)
+    qn = spark.createDataFrame(SPAN_NEAR_QUERIES,
+                               "query_id long, qtext string")
+    no = _rerank_rounded(search_span_near(spark, idx, qn, slop=SPAN_SLOP,
+                                          in_order=True, k=20))
+    nu = _rerank_rounded(search_span_near(spark, idx, qn, slop=SPAN_SLOP,
+                                          in_order=False, k=20))
+    qx = spark.createDataFrame(
+        SPAN_NOT_QUERIES, "query_id long, qtext string, exclude string")
+    nt = _rerank_rounded(search_span_not(spark, idx, qx, pre=SPAN_PRE,
+                                         post=SPAN_POST, k=20))
+    qf = spark.createDataFrame(SPAN_FIRST_QUERIES,
+                               "query_id long, qtext string")
+    fi = _rerank_rounded(search_span_first(spark, idx, qf,
+                                           end=SPAN_FIRST_END, k=20))
+    def _tag(df, kind):
+        return df.select(F.lit(kind).alias("kind"), "query_id", "rank",
+                         "docid", "score_r")
+    return (_tag(no, "near_o").unionByName(_tag(nu, "near_u"))
+            .unionByName(_tag(nt, "not")).unionByName(_tag(fi, "first")))
+
+
+def _span_oracle_sql(k: int = 10) -> str:
+    from .textops import tokenize
+    pos_cte = f"""
+, tokord AS (
+  SELECT docid,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')))) AS ord
+  FROM ids
+), tokpos AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord) - 1 AS pos
+  FROM tokord WHERE length(term) <= 64
+)"""
+
+    def scored_for(qid, terms, match_sub, kind):
+        terms_in = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        return f"""
+SELECT '{kind}' AS kind, CAST({qid} AS BIGINT) AS query_id, tf.docid,
+       sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf / (tf.tf + {K1!r} * (1.0 - {B!r} + {B!r} * dl.dl / s.avgdl)) ) AS score
+FROM tf
+JOIN dfs d USING (term)
+JOIN dl USING (docid)
+CROSS JOIN stats s
+WHERE tf.term IN ({terms_in})
+  AND tf.docid IN ({match_sub})
+GROUP BY tf.docid"""
+
+    per = []
+    W = SPAN_SLOP + 1            # two clauses: slop + n - 1
+    for qid, qtext in SPAN_NEAR_QUERIES:
+        a, b = tokenize(qtext)
+        per.append(scored_for(qid, [a, b], f"""
+    SELECT DISTINCT t0.docid FROM tokpos t0 JOIN tokpos t1
+      ON t1.docid = t0.docid AND t1.term = '{b}'
+     AND t1.pos > t0.pos AND t1.pos - t0.pos <= {W}
+    WHERE t0.term = '{a}'""", "near_o"))
+        per.append(scored_for(qid, [a, b], f"""
+    SELECT DISTINCT t0.docid FROM tokpos t0 JOIN tokpos t1
+      ON t1.docid = t0.docid AND t1.term = '{b}'
+     AND t1.pos <> t0.pos AND abs(t1.pos - t0.pos) <= {W}
+    WHERE t0.term = '{a}'""", "near_u"))
+    for qid, qtext, ex in SPAN_NOT_QUERIES:
+        toks = tokenize(qtext)
+        joins = "\n".join(
+            f"  JOIN tokpos t{i} ON t{i}.docid = t0.docid "
+            f"AND t{i}.term = '{t}' AND t{i}.pos = t0.pos + {i}"
+            for i, t in enumerate(toks[1:], start=1))
+        per.append(scored_for(qid, toks, f"""
+    SELECT DISTINCT t0.docid FROM tokpos t0
+{joins}
+    WHERE t0.term = '{toks[0]}' AND NOT EXISTS (
+      SELECT 1 FROM tokpos e WHERE e.docid = t0.docid
+        AND e.term = '{ex}'
+        AND e.pos BETWEEN t0.pos - {SPAN_PRE}
+                      AND t0.pos + {len(toks) - 1 + SPAN_POST})""", "not"))
+    for qid, term in SPAN_FIRST_QUERIES:
+        per.append(scored_for(qid, [term], f"""
+    SELECT DISTINCT docid FROM tokpos
+    WHERE term = '{term}' AND pos < {SPAN_FIRST_END}""", "first"))
+    union = "\nUNION ALL\n".join(per)
+    return f"""{_CORPUS_CTES_DUCK}{pos_cte}
+, scored AS ({union})
+, ranked AS (
+  SELECT kind, query_id, docid, round(score, 6) AS score_r,
+         CAST(row_number() OVER (PARTITION BY kind, query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT kind, query_id, rank, docid, score_r
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -2562,6 +2684,7 @@ QUERIES: dict[str, callable] = {
     "es_pipeline_aggs": q_es_pipeline_aggs,
     "es_collapse": q_es_collapse,
     "es_explain": q_es_explain,
+    "bm25_span": q_bm25_span,
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2598,6 +2721,7 @@ ORACLES: dict[str, str] = {
     "es_pipeline_aggs": _pipeline_aggs_oracle_sql(),
     "es_collapse": _collapse_oracle_sql(),
     "es_explain": _explain_oracle_sql(),
+    "bm25_span": _span_oracle_sql(),
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),

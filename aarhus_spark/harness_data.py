@@ -988,6 +988,41 @@ FROM ({SQL_DEDUP_EMBEDDING_COSINE}) ez
 """
 
 
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+F7 / F4+F5 (round-7 fold of the two scalar unions into one
+    tagged union): every constituent keeps its full oracle check;
+    ''/0/0.0 fillers instead of NULLs so the value hash is
+    engine-stable."""
+    import pyspark.sql.functions as F
+    dj = (q_scalar_datetime_json(spark, sf_dir)
+          .select(F.lit("dtj").alias("src"), F.col("day").alias("k1"),
+                  F.col("hr").alias("k2"), "n", "n_k",
+                  F.col("max_k").alias("s1"),
+                  F.lit(0.0).alias("v1"), F.lit(0.0).alias("v2"),
+                  F.lit(0.0).alias("v3")))
+    ma = (q_scalar_math_array(spark, sf_dir)
+          .select("src", F.lit("").alias("k1"),
+                  F.col("key").alias("k2"),
+                  F.lit(0).cast("long").alias("n"),
+                  F.lit(0).cast("long").alias("n_k"),
+                  F.lit("").alias("s1"), "v1", "v2",
+                  F.col("v3").cast("double").alias("v3")))
+    return dj.unionByName(ma)
+
+
+SQL_SCALAR_FUNCS = f"""
+SELECT 'dtj' AS src, day AS k1, hr AS k2, n, n_k, max_k AS s1,
+       0.0 AS v1, 0.0 AS v2, 0.0 AS v3
+FROM ({SQL_SCALAR_DATETIME_JSON}) dz
+UNION ALL
+SELECT src, '' AS k1, key AS k2, CAST(0 AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS n_k, '' AS s1, v1, v2, CAST(v3 AS DOUBLE) AS v3
+FROM ({SQL_SCALAR_MATH_ARRAY}) mz
+"""
+
+
 QUERIES2 = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1003,8 +1038,7 @@ QUERIES2 = {
     "stream_dedup": q_stream_dedup,
     "events_sliding_session": q_events_sliding_session,
     "scalar_string_url_hash": q_scalar_string_url_hash,
-    "scalar_datetime_json": q_scalar_datetime_json,
-    "scalar_math_array": q_scalar_math_array,
+    "scalar_funcs": q_scalar_funcs,
     "asof_join": q_asof_join,
     "postings_codec_check": q_engine_rows_checks,
 }
@@ -1024,8 +1058,7 @@ ORACLES2 = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "events_sliding_session": SQL_EVENTS_SLIDING_SESSION,
     "scalar_string_url_hash": SQL_SCALAR_STRING_URL_HASH,
-    "scalar_datetime_json": SQL_SCALAR_DATETIME_JSON,
-    "scalar_math_array": SQL_SCALAR_MATH_ARRAY,
+    "scalar_funcs": SQL_SCALAR_FUNCS,
     "asof_join": SQL_ASOF_JOIN,
     # rows-only by design: postings_codec_check — since round 7 a
     # tagged union of the binary-codec sweep (F9) AND the HLL

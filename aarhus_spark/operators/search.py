@@ -1347,6 +1347,133 @@ def _sloppy_match(phrase: list[tuple[int, str]],
             np.asarray(widths_l, dtype=np.int64) if want_width else None)
 
 
+
+def _decode_candidate_positions(g: pd.DataFrame, required_terms: list[str],
+                                range_lo: int = 0,
+                                range_hi: int | None = None,
+                                dead: np.ndarray | None = None,
+                                optional_terms: tuple = ()) -> tuple:
+    """Shared two-pass positional decode for every positional kernel
+    (phrase, sloppy phrase, phrase-prefix anchor side, span queries).
+
+    PASS 1 decodes scoring streams only (``decode_block_ext`` never
+    touches the position bytes, but records where they start), keeps
+    per-term blocks overlapping [range_lo, range_hi], and intersects
+    the REQUIRED terms' docids (rows/dirs are docid-disjoint so each
+    term's docids are sorted unique after the ordered concat); dead
+    docids drop from the intersection. PASS 2 decodes the position
+    stream ONLY for blocks that still hold a candidate — picking it up
+    at the byte offset pass 1 recorded, so scoring streams are never
+    decoded twice — and keeps candidate docs' rows per term.
+
+    ``optional_terms`` are decoded and candidate-restricted the same
+    way but do NOT participate in the intersection and may be absent
+    (span_not's exclude clause: needed for the overlap test, never a
+    match requirement, never scored).
+
+    Returns ``(inter, per_term)`` — sorted candidate docids and
+    ``term -> (docids, tfs, dls, flat_positions)`` (positions grouped
+    by posting in docid order). ``inter`` is empty when no doc can
+    match; ``per_term`` then is undefined."""
+    none = (np.array([], dtype=np.int64), {})
+    term_rows: dict[str, list[tuple]] = {}
+    src_it = g["src_avgdl"] if "src_avgdl" in g.columns else [None] * len(g)
+    for row in zip(g["term"], g["chunk"], g["first_docid"], g["blocks"],
+                   g["postings"], src_it):
+        term_rows.setdefault(row[0], []).append(row)
+    if any(t not in term_rows for t in required_terms):
+        return none  # a required term has no postings here -> no match
+    if range_hi is None:
+        range_hi = np.iinfo(np.int64).max
+
+    all_terms = list(required_terms) + [t for t in optional_terms
+                                        if t in term_rows]
+    per_term_blocks: dict[str, list[tuple]] = {}   # (d,tf,dl,buf,pos_off,sel,tf_full,blk_end)
+    for t in all_terms:
+        blocks = []
+        for (_t, chunk, first, blks, payload, _src) in sorted(
+                term_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            prev_last = int(first) - 1
+            for bi, b in enumerate(blks):
+                last = int(b["last_docid"])
+                if last >= range_lo and prev_last + 1 <= range_hi:
+                    d, tf, dl, pos_off = decode_block_ext(buf, int(b["offset"]))
+                    sel = (d >= range_lo) & (d <= range_hi)
+                    if sel.any():
+                        # end bound = next block's offset (payload end for
+                        # the last block) so pass 2's position decode is
+                        # validated against the block boundary
+                        blk_end = (int(blks[bi + 1]["offset"])
+                                   if bi + 1 < len(blks) else buf.size)
+                        blocks.append((d[sel], tf[sel], dl[sel], buf,
+                                       pos_off, sel, tf, blk_end))
+                prev_last = last
+        if not blocks and t in required_terms:
+            return none
+        per_term_blocks[t] = blocks
+
+    inter = None
+    for t in required_terms:
+        td = np.concatenate([b[0] for b in per_term_blocks[t]])
+        inter = td if inter is None else np.intersect1d(inter, td,
+                                                        assume_unique=True)
+        if inter.size == 0:
+            return none
+    if dead is not None and dead.size:
+        inter = inter[~np.isin(inter, dead)]
+    if inter.size == 0:
+        return none
+
+    per_term: dict[str, tuple] = {}
+    for t in all_terms:
+        ds, tfl, dll, pfl = [], [], [], []
+        for (d, tf, dl, buf, pos_off, sel, tf_full, blk_end) in per_term_blocks[t]:
+            keep = np.isin(d, inter, assume_unique=True)
+            if not keep.any():
+                continue
+            pos = decode_positions_at(buf, pos_off, tf_full, end=blk_end)
+            pos = pos[np.repeat(sel, tf_full)]    # range-restrict like pass 1
+            ds.append(d[keep]); tfl.append(tf[keep]); dll.append(dl[keep])
+            pfl.append(pos[np.repeat(keep, tf)])
+        if not ds:
+            if t in required_terms:
+                return none
+            continue  # absent optional term: simply no rows
+        per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
+                       np.concatenate(dll), np.concatenate(pfl))
+    return inter, per_term
+
+
+
+def _exact_anchor_keys(phrase: list[tuple[int, str]], per_term: dict,
+                       inter: np.ndarray) -> np.ndarray:
+    """Exact-adjacency anchor intersection over every (offset, term)
+    constraint of an analyzed phrase: returns the sorted int64 keys
+    ``(local_docid << 32) | anchor_position`` of every document
+    position where the exact sequence starts (local = index into the
+    sorted candidate array ``inter`` — dense, so the composite can
+    never overflow at 10^12-docid scale). Repeated terms need no
+    distinctness check here — one anchor a serves offsets o≠o' with
+    distinct positions a+o, a+o' automatically. Empty when no doc
+    holds the sequence."""
+    anchors: np.ndarray | None = None
+    for o, t in phrase:
+        d, tf, _dl, pos = per_term[t]
+        docc = np.repeat(d, tf)
+        keep = pos >= o                      # docc ⊆ inter by pass 2
+        if not keep.any():
+            return np.array([], dtype=np.int64)
+        local = np.searchsorted(inter, docc[keep]).astype(np.int64)
+        key = (local << np.int64(32)) | (pos[keep].astype(np.int64) - o)
+        key = np.unique(key)
+        anchors = key if anchors is None else np.intersect1d(
+            anchors, key, assume_unique=True)
+        if anchors.size == 0:
+            return anchors
+    return anchors
+
+
 def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
                       n_docs: int, avgdl: float, k: int, dfg: dict,
                       range_lo: int = 0, range_hi: int | None = None,
@@ -1403,96 +1530,15 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
         range_hi = np.iinfo(np.int64).max
     qid = int(g["query_id"].iloc[0])
     distinct_terms = sorted({t for _, t in phrase})
-    term_rows: dict[str, list[tuple]] = {}
-    src_it = g["src_avgdl"] if "src_avgdl" in g.columns else [None] * len(g)
-    for row in zip(g["term"], g["chunk"], g["first_docid"], g["blocks"],
-                   g["postings"], src_it):
-        term_rows.setdefault(row[0], []).append(row)
-    if any(t not in term_rows for t in distinct_terms):
-        return empty  # a phrase term has no postings here -> no match
-
-    # PASS 1 — scoring streams only (decode_block_ext never decodes the
-    # position bytes, but records where they start): per-term blocks in
-    # range, then the conjunctive docid intersection. Rows/dirs are
-    # docid-disjoint so each term's docids are sorted unique after the
-    # ordered concat.
-    per_term_blocks: dict[str, list[tuple]] = {}   # (d,tf,dl,buf,pos_off,sel,tf_full,blk_end)
-    per_term: dict[str, tuple] = {}
-    for t in distinct_terms:
-        blocks = []
-        for (_t, chunk, first, blks, payload, _src) in sorted(
-                term_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            prev_last = int(first) - 1
-            for bi, b in enumerate(blks):
-                last = int(b["last_docid"])
-                if last >= range_lo and prev_last + 1 <= range_hi:
-                    d, tf, dl, pos_off = decode_block_ext(buf, int(b["offset"]))
-                    sel = (d >= range_lo) & (d <= range_hi)
-                    if sel.any():
-                        # end bound = next block's offset (payload end for
-                        # the last block) so pass 2's position decode is
-                        # validated against the block boundary
-                        blk_end = (int(blks[bi + 1]["offset"])
-                                   if bi + 1 < len(blks) else buf.size)
-                        blocks.append((d[sel], tf[sel], dl[sel], buf,
-                                       pos_off, sel, tf, blk_end))
-                prev_last = last
-        if not blocks:
-            return empty
-        per_term_blocks[t] = blocks
-
-    inter = None
-    for t in distinct_terms:
-        td = np.concatenate([b[0] for b in per_term_blocks[t]])
-        inter = td if inter is None else np.intersect1d(inter, td,
-                                                        assume_unique=True)
-        if inter.size == 0:
-            return empty
-    if dead is not None and dead.size:
-        inter = inter[~np.isin(inter, dead)]
+    inter, per_term = _decode_candidate_positions(
+        g, distinct_terms, range_lo, range_hi, dead)
     if inter.size == 0:
         return empty
 
-    # PASS 2 — decode the position stream ONLY for blocks that still
-    # hold a candidate (for a selective phrase over a common term this
-    # skips the bulk of the expensive stream), picking it up at the
-    # byte offset pass 1 recorded — the scoring streams are never
-    # decoded twice. Keep only candidate docs' rows per term.
-    for t in distinct_terms:
-        ds, tfl, dll, pfl = [], [], [], []
-        for (d, tf, dl, buf, pos_off, sel, tf_full, blk_end) in per_term_blocks[t]:
-            keep = np.isin(d, inter, assume_unique=True)
-            if not keep.any():
-                continue
-            pos = decode_positions_at(buf, pos_off, tf_full, end=blk_end)
-            pos = pos[np.repeat(sel, tf_full)]    # range-restrict like pass 1
-            ds.append(d[keep]); tfl.append(tf[keep]); dll.append(dl[keep])
-            pfl.append(pos[np.repeat(keep, tf)])
-        if not ds:
-            return empty
-        per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
-                       np.concatenate(dll), np.concatenate(pfl))
-
     if slop <= 0:
-        # exact adjacency: anchor intersection over every (offset, term)
-        # constraint. Repeated terms need no distinctness check here —
-        # one anchor a serves offsets o≠o' with distinct positions a+o,
-        # a+o' automatically.
-        anchors: np.ndarray | None = None
-        for o, t in phrase:
-            d, tf, _dl, pos = per_term[t]
-            docc = np.repeat(d, tf)
-            keep = pos >= o                      # docc ⊆ inter by pass 2
-            if not keep.any():
-                return empty
-            local = np.searchsorted(inter, docc[keep]).astype(np.int64)
-            key = (local << np.int64(32)) | (pos[keep].astype(np.int64) - o)
-            key = np.unique(key)
-            anchors = key if anchors is None else np.intersect1d(
-                anchors, key, assume_unique=True)
-            if anchors.size == 0:
-                return empty
+        anchors = _exact_anchor_keys(phrase, per_term, inter)
+        if anchors.size == 0:
+            return empty
         matched_local = np.unique(anchors >> np.int64(32))
         widths = None
     else:

@@ -39,7 +39,9 @@ def main() -> None:
                                        "wand-single", "phrase", "prefix",
                                        "phrase-prefix", "multi-match",
                                        "wildcard", "regexp", "boosting",
-                                       "constant-score", "rescore"],
+                                       "constant-score", "rescore",
+                                       "span-near", "span-not",
+                                       "span-first"],
                     default="wand",
                     help="wand = default dispatcher (chunk-parallel, fan-out "
                          "auto-sized from index stats); wand-ranges forces the "
@@ -73,6 +75,19 @@ def main() -> None:
     ap.add_argument("--min-should-match", type=int, default=None,
                     help="bool.should minimum_should_match: docs must match "
                          "at least M distinct analyzed query terms")
+    ap.add_argument("--unordered", action="store_true",
+                    help="span-near mode: drop the in-order constraint "
+                         "(Lucene NearSpansUnordered)")
+    ap.add_argument("--exclude", default=None,
+                    help="span-not mode: the excluded term (no occurrence "
+                         "within --pre/--post of an include-phrase match)")
+    ap.add_argument("--pre", type=int, default=0,
+                    help="span-not mode: guard band before the include span")
+    ap.add_argument("--post", type=int, default=0,
+                    help="span-not mode: guard band after the include span")
+    ap.add_argument("--first-end", type=int, default=None,
+                    help="span-first mode: the term must occur at a "
+                         "0-based position < this bound")
     ap.add_argument("--score-mode", choices=["bm25", "proximity"],
                     default="bm25",
                     help="'proximity' weights BM25 by 1/(1+min window "
@@ -117,7 +132,8 @@ def main() -> None:
     # flag/mode compatibility: refuse combinations whose semantics the
     # chosen mode does not implement, instead of silently ignoring them
     if args.mode in ("phrase", "prefix", "phrase-prefix", "multi-match",
-                     "wildcard", "regexp", "boosting", "rescore"):
+                     "wildcard", "regexp", "boosting", "rescore",
+                     "span-near", "span-not", "span-first"):
         bad = [n for n, v in [("--require-all", args.require_all),
                               ("--min-should-match", args.min_should_match),
                               ("--must-not", args.must_not),
@@ -132,15 +148,26 @@ def main() -> None:
                                                        "wildcard", "regexp",
                                                        "boosting",
                                                        "constant-score",
-                                                       "rescore"):
+                                                       "rescore",
+                                                       "span-near",
+                                                       "span-not",
+                                                       "span-first"):
             ap.error("--score-mode proximity only applies to phrase "
                      "and wand/taat modes")
-        if args.slop:
-            ap.error("--slop only applies to --mode phrase")
+        if args.slop and args.mode != "span-near":
+            ap.error("--slop only applies to --mode phrase / span-near")
     if args.mode != "multi-match" and (args.fields or args.tie_breaker):
         ap.error("--fields/--tie-breaker only apply to --mode multi-match")
     if args.mode != "boosting" and args.negative is not None:
         ap.error("--negative only applies to --mode boosting")
+    if args.mode != "span-near" and args.unordered:
+        ap.error("--unordered only applies to --mode span-near")
+    if args.mode != "span-not" and args.exclude is not None:
+        ap.error("--exclude only applies to --mode span-not")
+    if args.mode != "span-first" and args.first_end is not None:
+        ap.error("--first-end only applies to --mode span-first")
+    if args.mode == "span-first" and args.first_end is None:
+        ap.error("--mode span-first needs --first-end")
 
     from aarhus_spark.operators.search import (
         search_phrase, search_taat, search_topk, search_wand,
@@ -224,6 +251,27 @@ def main() -> None:
                              window_size=args.rescore_window,
                              rescore_weight=args.rescore_weight,
                              n_ranges=args.ranges)
+    elif args.mode == "span-near":
+        from aarhus_spark.operators.spans import search_span_near
+        res = search_span_near(spark, index, qdf, slop=args.slop,
+                               in_order=not args.unordered, k=args.k,
+                               n_ranges=args.ranges)
+    elif args.mode == "span-not":
+        from pyspark.sql import functions as F
+        from aarhus_spark.operators.spans import search_span_not
+        sqdf = qdf
+        if "exclude" not in sqdf.columns:
+            if args.exclude is None:
+                ap.error("--mode span-not needs --exclude or an exclude "
+                         "column in the queries parquet")
+            sqdf = sqdf.withColumn("exclude", F.lit(args.exclude))
+        res = search_span_not(spark, index, sqdf, pre=args.pre,
+                              post=args.post, k=args.k,
+                              n_ranges=args.ranges)
+    elif args.mode == "span-first":
+        from aarhus_spark.operators.spans import search_span_first
+        res = search_span_first(spark, index, qdf, end=args.first_end,
+                                k=args.k, n_ranges=args.ranges)
     elif args.mode == "multi-match":
         from aarhus_spark.operators.multifield import search_multi_match
         fields, boosts = None, {}
