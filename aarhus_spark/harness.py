@@ -1870,20 +1870,82 @@ SUGGEST_EDITS = 2
 SUGGEST_N = 5
 
 
+PHRASE_SUGGEST_QUERIES = [(10, "querry data"), (11, "hash jain")]
+PHRASE_SUGGEST_PER_WORD = 2
+PHRASE_SUGGEST_N = 3
+
+
 def q_es_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q23: ES term suggester ("did you mean") in ``popular`` mode —
-    dictionary terms within 2 Levenshtein edits of each misspelled
-    word, candidates must beat the word's own df, ranked (distance
-    asc, df desc, term asc). Integer/string values only: no FP."""
-    from .operators.eslayer import suggest_terms
+    """Q23+Q40 (round-7 fold, one tagged union): the ES term suggester
+    ("did you mean") in ``popular`` mode — dictionary terms within 2
+    Levenshtein edits, candidates must beat the word's own df, ranked
+    (distance asc, df desc, term asc) — and the PHRASE suggester
+    (kind='phrase'): per-word 1-edit candidates (cap 2) × conjunctive
+    index evidence, ranked (doc_count desc, edits asc, suggestion
+    asc). Integer/string values only: no FP."""
+    from .operators.eslayer import suggest_phrases, suggest_terms
     idx = _ensure_index(spark, sf_dir)
     wdf = spark.createDataFrame(SUGGEST_WORDS, "word_id long, word string")
-    return suggest_terms(spark, idx, wdf, max_edits=SUGGEST_EDITS,
-                         n_suggestions=SUGGEST_N, suggest_mode="popular")
+    term = (suggest_terms(spark, idx, wdf, max_edits=SUGGEST_EDITS,
+                          n_suggestions=SUGGEST_N, suggest_mode="popular")
+            .select(F.lit("term").alias("kind"), "word_id", "word",
+                    "srank", "term", "distance", "df"))
+    pdf = spark.createDataFrame(PHRASE_SUGGEST_QUERIES,
+                                "phrase_id long, phrase string")
+    phr = (suggest_phrases(spark, idx, pdf, max_edits=1,
+                           per_word=PHRASE_SUGGEST_PER_WORD,
+                           n_suggestions=PHRASE_SUGGEST_N)
+           .select(F.lit("phrase").alias("kind"),
+                   F.col("phrase_id").alias("word_id"),
+                   F.col("phrase").alias("word"), "srank",
+                   F.col("suggestion").alias("term"),
+                   F.col("edits").alias("distance"),
+                   F.col("doc_count").alias("df")))
+    return term.unionByName(phr)
 
 
 def _suggest_oracle_sql() -> str:
+    from .textops import tokenize
     vals = ", ".join(f"({wid}, '{w}')" for wid, w in SUGGEST_WORDS)
+
+    def _cand_sub(w: str) -> str:
+        # identity at edit 0 + capped 1-edit dictionary candidates —
+        # the engine's per-word generator (suggest_terms always-mode
+        # ranking: distance asc, df desc, term asc, cap)
+        return f"""(
+    SELECT term, dist FROM (
+      SELECT d.term, CAST(levenshtein(d.term, '{w}') AS BIGINT) AS dist,
+             row_number() OVER (ORDER BY levenshtein(d.term, '{w}'),
+                  d.df DESC, d.term) AS rn
+      FROM dfs d
+      WHERE abs(length(d.term) - {len(w)}) <= 1
+        AND levenshtein(d.term, '{w}') BETWEEN 1 AND 1) z
+    WHERE rn <= {PHRASE_SUGGEST_PER_WORD}
+    UNION ALL SELECT '{w}', CAST(0 AS BIGINT))"""
+
+    phrase_arms = []
+    for pid, phrase in PHRASE_SUGGEST_QUERIES:
+        toks = tokenize(phrase)
+        assert len(toks) == 2, "harness phrase suggester uses 2-word phrases"
+        w1, w2 = toks
+        phrase_arms.append(f"""
+SELECT 'phrase' AS kind, word_id, word, srank, term, distance, df FROM (
+  SELECT CAST({pid} AS BIGINT) AS word_id, '{w1} {w2}' AS word,
+         cm.term, cm.distance, cm.doc_count AS df,
+         CAST(row_number() OVER (ORDER BY cm.doc_count DESC,
+              cm.distance, cm.term) AS BIGINT) AS srank
+  FROM (
+    SELECT ca.term || ' ' || cb.term AS term,
+           ca.dist + cb.dist AS distance,
+           CAST(count(DISTINCT ta.docid) AS BIGINT) AS doc_count
+    FROM {_cand_sub(w1)} ca
+    CROSS JOIN {_cand_sub(w2)} cb
+    JOIN tf ta ON ta.term = ca.term
+    JOIN tf tb ON tb.term = cb.term AND tb.docid = ta.docid
+    WHERE NOT (ca.term = '{w1}' AND cb.term = '{w2}')
+    GROUP BY 1, 2) cm) ranked
+WHERE srank <= {PHRASE_SUGGEST_N}""")
+    phrase_union = "\nUNION ALL\n".join(phrase_arms)
     return f"""{_CORPUS_CTES_DUCK}
 , words AS (
   SELECT CAST(word_id AS BIGINT) AS word_id, word
@@ -1899,11 +1961,13 @@ def _suggest_oracle_sql() -> str:
     AND levenshtein(d.term, o.word) BETWEEN 1 AND {SUGGEST_EDITS}
     AND d.df > o.own_df
 )
-SELECT word_id, word, srank, term, distance, df FROM (
+SELECT 'term' AS kind, word_id, word, srank, term, distance, df FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY word_id
         ORDER BY distance, df DESC, term) AS BIGINT) AS srank
   FROM cand) z
 WHERE srank <= {SUGGEST_N}
+UNION ALL
+{phrase_union}
 """
 
 

@@ -18,6 +18,9 @@ of each, built over the engine's own artifacts:
   dictionary).
 - :func:`suggest_terms` — the *term suggester* ("did you mean"):
   Levenshtein dictionary scan, ES suggest_mode semantics.
+- :func:`suggest_phrases` — the *phrase suggester* analog: per-word
+  candidates × conjunctive index evidence via the engine's own
+  bool.must path, ranked (evidence desc, edits asc).
 - :func:`search_function_score` — multiplicative exp-decay on
   ``warc_ts`` (ES ``exp`` decay function, offset=0).
 - :func:`search_page` — keyset pagination on (score desc, docid asc),
@@ -953,3 +956,79 @@ def search_explain(spark: SparkSession, index_dir, queries: DataFrame,
         F.round(F.col("tf") / denom, round_to).alias("tfn_r"),
         F.round(idf * F.col("tf") / denom, round_to).alias("contrib_r"),
         F.round("score", 6).alias("score_r"))
+
+
+def suggest_phrases(spark: SparkSession, index_dir, phrases: DataFrame,
+                    max_edits: int = 1, per_word: int = 3,
+                    n_suggestions: int = 3) -> DataFrame:
+    """ES *phrase suggester* analog ("did you mean" for whole queries):
+    per-word candidates come from the term-suggester kernel
+    (:func:`suggest_terms`, ``always`` mode — Levenshtein ≤
+    ``max_edits``, ranked distance asc / df desc / term asc, capped at
+    ``per_word``; the word itself rides along at edit 0), the bounded
+    cartesian combinations are scored by REAL index evidence — the
+    number of documents matching the WHOLE candidate phrase
+    conjunctively, through the engine's own bool.must path
+    (``search_taat(require_all=True)``) — and ranked (doc_count desc,
+    total edits asc, suggestion asc), top ``n_suggestions`` per
+    phrase. Combos equal to the input are excluded (ES suggests only
+    corrections) and combos with ZERO conjunctive matches are dropped
+    — the deterministic analog of ES's real-word confidence cutoff
+    (its smoothed-LM score likewise favors collocations the index has
+    actually seen).
+
+    Plan shape: candidate generation is one Q23 dictionary scan for
+    ALL distinct words; evidence is ONE engine query batch (every
+    combo a query row — the shuffle is bounded by the candidate
+    terms' postings, the same bound as scored retrieval); ranking is
+    a tiny per-phrase window. Driver-side work is only the
+    human-scale combo assembly. Returns (phrase_id, phrase, srank,
+    suggestion, edits, doc_count)."""
+    from itertools import product
+
+    from .search import search_taat
+    out_schema = ("phrase_id long, phrase string, srank long, "
+                  "suggestion string, edits long, doc_count long")
+    rows = phrases.select("phrase_id", "phrase").collect()
+    words = sorted({w for r in rows for w in tokenize(r["phrase"])})
+    if not words:
+        return spark.createDataFrame([], out_schema)
+    wdf = spark.createDataFrame(list(enumerate(words)),
+                                "word_id long, word string")
+    cand_rows = suggest_terms(spark, index_dir, wdf, max_edits=max_edits,
+                              n_suggestions=per_word,
+                              suggest_mode="always").collect()
+    cands: dict[str, list[tuple[str, int]]] = {}
+    for r in cand_rows:
+        cands.setdefault(r["word"], []).append((r["term"],
+                                                int(r["distance"])))
+    meta, combo_id = [], 0
+    for r in rows:
+        pid, toks = int(r["phrase_id"]), tokenize(r["phrase"])
+        original = " ".join(toks)
+        per = [[(w, 0)] + sorted(cands.get(w, [])) for w in toks]
+        for pick in product(*per):
+            sug = " ".join(t for t, _ in pick)
+            if sug == original:
+                continue
+            meta.append((combo_id, pid, original, sug,
+                         sum(e for _, e in pick)))
+            combo_id += 1
+    if not meta:
+        return spark.createDataFrame([], out_schema)
+    qdf = spark.createDataFrame([(cid, s) for cid, _, _, s, _ in meta],
+                                "query_id long, qtext string")
+    counts = (search_taat(spark, index_dir, qdf, require_all=True,
+                          return_matches=True)
+              .groupBy("query_id")
+              .agg(F.count("*").cast("long").alias("doc_count")))
+    mdf = spark.createDataFrame(
+        meta, "query_id long, phrase_id long, phrase string, "
+              "suggestion string, edits long")
+    win = Window.partitionBy("phrase_id").orderBy(
+        F.desc("doc_count"), F.asc("edits"), F.asc("suggestion"))
+    return (mdf.join(counts, "query_id")   # inner: zero-evidence combos drop
+            .withColumn("srank", F.row_number().over(win).cast("long"))
+            .filter(F.col("srank") <= n_suggestions)
+            .select("phrase_id", "phrase", "srank", "suggestion",
+                    "edits", "doc_count"))

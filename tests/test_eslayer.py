@@ -709,3 +709,63 @@ def test_explain_vs_python_twin(spark, eidx):
             # reconciliation: breakdown sums to the engine's score
             assert sum(contribs) == pytest.approx(m[d], rel=1e-9)
     assert got == sorted(exp)
+
+
+def test_phrase_suggester_vs_python_twin(spark, eidx):
+    """Phrase suggester: per-word 1-edit candidates x conjunctive index
+    evidence, against an independent pure-Python pipeline (DP
+    Levenshtein, token-set doc counts); zero-evidence combos and the
+    identity combo never surface."""
+    from itertools import product as iproduct
+    from aarhus_spark.operators.eslayer import suggest_phrases
+    from aarhus_spark.textops import tokenize
+    out, oidx, _, _ = eidx
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    per_word, n_sug = 2, 3
+    phrases = [(0, "th data"), (1, "query2 jion11"), (2, "zzqq yyxx")]
+    pdf = spark.createDataFrame(phrases, "phrase_id long, phrase string")
+    res = suggest_phrases(spark, out, pdf, max_edits=1,
+                          per_word=per_word, n_suggestions=n_sug)
+    got = sorted((r["phrase_id"], r["srank"], r["suggestion"],
+                  r["edits"], r["doc_count"]) for r in res.collect())
+
+    docsets = {}
+    for t, (ds, _tf) in oidx.postings.items():
+        docsets[t] = set(int(d) for d in ds)
+    exp = []
+    for pid, phrase in phrases:
+        toks = tokenize(phrase)
+        per = []
+        for w in toks:
+            cand = sorted(
+                ((lev(t, w), -df_, t) for t, df_ in oidx.df.items()
+                 if lev(t, w) == 1))[:per_word]
+            per.append([(w, 0)] + [(t, 1) for _, _, t in cand])
+        combos = {}
+        for pick in iproduct(*per):
+            sug = " ".join(t for t, _ in pick)
+            if sug == " ".join(toks):
+                continue
+            ev = None
+            for t, _ in pick:
+                s = docsets.get(t, set())
+                ev = s if ev is None else ev & s
+            if ev:
+                combos[sug] = (sum(e for _, e in pick), len(ev))
+        top = sorted(combos.items(),
+                     key=lambda kv: (-kv[1][1], kv[1][0], kv[0]))[:n_sug]
+        exp.extend((pid, i + 1, s, e, n)
+                   for i, (s, (e, n)) in enumerate(top))
+    assert got == sorted(exp)
+    assert len(got) > 0
+    # the garbage phrase must produce nothing
+    assert not [g for g in got if g[0] == 2]
