@@ -133,6 +133,12 @@ def main() -> None:
     # transposed / one-gap pairs widen the candidate and position work
     timed("search_phrase_slop_25q",
           lambda: search_phrase(spark, idx_dir, pqdf, slop=2).count())
+    # span_near ordered (round 7): the same two-pass positional decode
+    # as phrase, plus the greedy order-chain per candidate doc
+    from aarhus_spark.operators.spans import search_span_near
+    timed("search_span_25q",
+          lambda: search_span_near(spark, idx_dir, pqdf, slop=3,
+                                   in_order=True).count())
 
     # round-7 ES layer: facets + function_score over the FULL match
     # set of the 50-query flagship set, and highlighted top-10s —
