@@ -2732,6 +2732,70 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Q41: percolate — reverse search (registered queries vs incoming docs)
+# ---------------------------------------------------------------------------
+
+PERCOLATE_QUERIES = [
+    (0, "hash join table", "must", 0),
+    (1, "spark merge window sort", "msm", 2),
+    (2, "hash join", "phrase", 0),
+    (3, "data zzzneverword", "must", 0),     # must miss: term absent
+]
+
+
+def q_es_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q41: ES percolate — the documents table plays the INCOMING batch
+    (keyed by doc_id-as-url), matched against four registered queries:
+    a 3-term bool.must, a minimum_should_match=2 should, an exact
+    phrase, and a must that can never match (absent term — contributes
+    zero rows on both engines). Integer/string values only."""
+    from .operators.eslayer import percolate
+    qdf = spark.createDataFrame(
+        PERCOLATE_QUERIES, "query_id long, qtext string, kind string, msm int")
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("url"), "text"))
+    return percolate(spark, qdf, docs)
+
+
+def _percolate_oracle_sql() -> str:
+    from .textops import tokenize
+    arms = []
+    for qid, qtext, kind, msm in PERCOLATE_QUERIES:
+        toks = tokenize(qtext)
+        if kind in ("must", "msm"):
+            need = len(toks) if kind == "must" else msm
+            terms_in = ", ".join(f"'{t}'" for t in sorted(set(toks)))
+            arms.append(f"""
+SELECT CAST(doc_id AS VARCHAR) AS url, CAST({qid} AS BIGINT) AS query_id,
+       '{kind}' AS kind
+FROM ptok WHERE term IN ({terms_in})
+GROUP BY doc_id HAVING count(DISTINCT term) >= {need}""")
+        else:
+            needle = " " + " ".join(toks) + " "
+            arms.append(f"""
+SELECT CAST(doc_id AS VARCHAR) AS url, CAST({qid} AS BIGINT) AS query_id,
+       'phrase' AS kind
+FROM phay WHERE contains(hay, '{needle}')""")
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH ptok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'),
+           x -> length(x) <= 64))) AS term
+  FROM documents
+), phay AS (
+  SELECT doc_id, ' ' || array_to_string(list_filter(
+           regexp_extract_all(lower(text), '{TOKEN_SQL_RE}'),
+           x -> length(x) <= 64), ' ') || ' ' AS hay
+  FROM documents
+)
+{union}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry (part 1 — fulltext core + relational operators)
 # ---------------------------------------------------------------------------
@@ -2749,6 +2813,7 @@ QUERIES: dict[str, callable] = {
     "es_collapse": q_es_collapse,
     "es_explain": q_es_explain,
     "bm25_span": q_bm25_span,
+    "es_percolate": q_es_percolate,
     "compacted_search": q_compacted_search,
     "manifest_audit": q_manifest_audit,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2786,6 +2851,7 @@ ORACLES: dict[str, str] = {
     "es_collapse": _collapse_oracle_sql(),
     "es_explain": _explain_oracle_sql(),
     "bm25_span": _span_oracle_sql(),
+    "es_percolate": _percolate_oracle_sql(),
     "compacted_search": _bm25_oracle_sql(),
     "manifest_audit": _manifest_audit_oracle(),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True),

@@ -958,10 +958,10 @@ SELECT 'ivf' AS path, * FROM ({SQL_ANN_IVF}) iz
 
 
 def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard + embedding near-dup (round-7 fold, one tagged
-    union): both pair-similarity baselines keep their full oracle
-    check — (kind, rank, a, b, sim_r); the jaccard arm has no rank
-    (0 filler, its twin never ranked)."""
+    """n-gram Jaccard + embedding near-dup + MinHash-LSH (round-7 fold,
+    one tagged union): all three pair-similarity operators keep their
+    full oracle check — (kind, rank, a, b, sim_r); the jaccard/minhash
+    arms have no rank (0 filler, their twins never ranked)."""
     import pyspark.sql.functions as F
     ng = (q_dedup_ngram_jaccard(spark, sf_dir)
           .select(F.lit("ngram").alias("kind"),
@@ -974,7 +974,13 @@ def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("va").cast("long").alias("a"),
                   F.col("vb").cast("long").alias("b"),
                   F.col("cos_r").alias("sim_r")))
-    return ng.unionByName(em)
+    mh = (q_dedup_minhash_lsh(spark, sf_dir)
+          .select(F.lit("minhash").alias("kind"),
+                  F.lit(0).cast("long").alias("rank"),
+                  F.col("doc_a").cast("long").alias("a"),
+                  F.col("doc_b").cast("long").alias("b"),
+                  F.col("jaccard_r").alias("sim_r")))
+    return ng.unionByName(em).unionByName(mh)
 
 
 SQL_DEDUP_PAIRS = f"""
@@ -985,6 +991,10 @@ FROM ({SQL_DEDUP_NGRAM_JACCARD}) nz
 UNION ALL
 SELECT 'cos', rank, CAST(va AS BIGINT), CAST(vb AS BIGINT), cos_r
 FROM ({SQL_DEDUP_EMBEDDING_COSINE}) ez
+UNION ALL
+SELECT 'minhash', CAST(0 AS BIGINT), CAST(doc_a AS BIGINT),
+       CAST(doc_b AS BIGINT), jaccard_r
+FROM ({_minhash_duck()}) mz
 """
 
 
@@ -1025,7 +1035,6 @@ FROM ({SQL_SCALAR_MATH_ARRAY}) mz
 
 QUERIES2 = {
     "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_pairs": q_dedup_pairs,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1045,7 +1054,6 @@ QUERIES2 = {
 
 ORACLES2 = {
     "dedup_exact": SQL_DEDUP_EXACT,
-    "dedup_minhash_lsh": _minhash_duck(),
     "dedup_pairs": SQL_DEDUP_PAIRS,
     "dedup_simhash": _simhash_duck(),
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

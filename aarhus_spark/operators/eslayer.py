@@ -56,6 +56,9 @@ of each, built over the engine's own artifacts:
 - :func:`search_explain` — ES ``explain: true``: the per-term BM25
   breakdown (tf, df, idf, tf norm, contribution) per top-k hit,
   recomputed from the engine's own sinks.
+- :func:`percolate` — the ES *percolate* query (reverse search):
+  incoming docs matched against broadcast registered queries at
+  ingest — docs never shuffle.
 
 Everything stays JVM-side (built-in column functions); the only
 driver-side work is per-query term selection for MLT (one indexed
@@ -1032,3 +1035,72 @@ def suggest_phrases(spark: SparkSession, index_dir, phrases: DataFrame,
             .filter(F.col("srank") <= n_suggestions)
             .select("phrase_id", "phrase", "srank", "suggestion",
                     "edits", "doc_count"))
+
+
+def percolate(spark: SparkSession, queries: DataFrame,
+              docs: DataFrame) -> DataFrame:
+    """ES *percolate* query — reverse search: match INCOMING documents
+    against a set of REGISTERED queries at ingest time (alerting /
+    saved-search routing), before anything reaches the index. Each
+    registered query row is (query_id, qtext, kind, msm):
+
+    - ``kind='must'`` — the doc must contain EVERY analyzed term
+      (bool.must; OOV-free by construction: a query term the doc lacks
+      simply fails it);
+    - ``kind='msm'`` — at least ``msm`` distinct analyzed terms
+      (bool.should + minimum_should_match);
+    - ``kind='phrase'`` — the exact analyzed token sequence occurs
+      (match_phrase, slop 0).
+
+    Returns (url, query_id, kind) — one row per (document, matching
+    registered query).
+
+    Plan shape — the part that matters at 10^12 docs/day ingest: the
+    registered query set is human-to-thousands scale and BROADCAST;
+    documents never shuffle. Term kinds: one explode of each doc's
+    DISTINCT tokens → broadcast-join the query terms → one hash agg
+    counting distinct matches per (url, query_id) → the counting
+    predicate (the Q10 ``>=``/``==`` generalization, applied at
+    ingest). Phrase kind: zero shuffles at all — the doc's normalized
+    token stream is space-joined once and the phrase test is a
+    guarded-substring column predicate (tokens are [a-z0-9]+ joined by
+    single spaces, so ``' p1 p2 '`` substring-matches exactly the
+    token subsequence), evaluated under a broadcast nested-loop
+    against the tiny phrase set. ES pays the same shape: every doc is
+    tested against every registered query's memory-resident form."""
+    from .search import analyze_queries
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: (t != F.lit("")) & (F.length(t) <= F.lit(64)))
+    d = docs.select("url", toks.alias("toks"))
+
+    term_q = queries.filter(F.col("kind").isin("must", "msm"))
+    qterms = analyze_queries(term_q)          # (query_id, term) distinct
+    qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
+    qmeta = (term_q.select("query_id", "kind", "msm")
+             .join(qn, "query_id"))
+    tok_rows = d.select("url", F.explode(F.array_distinct("toks"))
+                        .alias("term"))
+    counts = (tok_rows.join(F.broadcast(qterms), "term")
+              .groupBy("url", "query_id")
+              .agg(F.count("*").alias("hit")))
+    term_hits = (counts.join(F.broadcast(qmeta), "query_id")
+                 .filter(((F.col("kind") == "must")
+                          & (F.col("hit") == F.col("qn")))
+                         | ((F.col("kind") == "msm")
+                            & (F.col("hit") >= F.col("msm"))))
+                 .select("url", "query_id", "kind"))
+
+    phrase_q = (queries.filter(F.col("kind") == "phrase")
+                .select("query_id", "kind",
+                        F.concat(F.lit(" "),
+                                 F.concat_ws(" ", F.split(
+                                     F.lower("qtext"), "[^a-z0-9]+")),
+                                 F.lit(" ")).alias("needle")))
+    stream = d.select(
+        "url", F.concat(F.lit(" "), F.concat_ws(" ", "toks"),
+                        F.lit(" ")).alias("hay"))
+    phrase_hits = (stream.join(
+        F.broadcast(phrase_q), F.col("hay").contains(F.col("needle")))
+        .select("url", "query_id", "kind"))
+    return term_hits.unionByName(phrase_hits)

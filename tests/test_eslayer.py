@@ -769,3 +769,42 @@ def test_phrase_suggester_vs_python_twin(spark, eidx):
     assert len(got) > 0
     # the garbage phrase must produce nothing
     assert not [g for g in got if g[0] == 2]
+
+
+def test_percolate_vs_python_twin(spark, eidx):
+    """Reverse search: registered must/msm/phrase queries against an
+    incoming doc batch, vs a brute-force token twin; the absent-term
+    must query matches nothing."""
+    from aarhus_spark.operators.eslayer import percolate
+    from aarhus_spark.textops import tokenize
+    out, oidx, docs, ddf = eidx
+    reg = [(0, "the data query2", "must", 0),
+           (1, "spark16 merge12 join11 data", "msm", 2),
+           (2, "the data", "phrase", 0),
+           (3, "data zzznever", "must", 0)]
+    qdf = spark.createDataFrame(
+        reg, "query_id long, qtext string, kind string, msm int")
+    res = percolate(spark, qdf, docs)
+    got = sorted((r["url"], r["query_id"]) for r in res.collect())
+    exp = []
+    toks_by_url = {u: tokenize(t)
+                   for u, t in zip(ddf["url"], ddf["text"])}
+    for u, toks in toks_by_url.items():
+        ts = set(toks)
+        for qid, qtext, kind, msm in reg:
+            q = tokenize(qtext)
+            if kind == "must" and set(q) <= ts:
+                exp.append((u, qid))
+            elif kind == "msm" and len(set(q) & ts) >= msm:
+                exp.append((u, qid))
+            elif kind == "phrase":
+                L = len(q)
+                if any(toks[i:i + L] == q
+                       for i in range(len(toks) - L + 1)):
+                    exp.append((u, qid))
+    assert got == sorted(exp)
+    assert len(got) > 0
+    assert not [g for g in got if g[1] == 3]
+    # each kind non-vacuous
+    kinds = {qid for _, qid in got}
+    assert {0, 1, 2} <= kinds
