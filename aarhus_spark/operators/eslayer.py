@@ -1045,8 +1045,7 @@ def percolate(spark: SparkSession, queries: DataFrame,
     registered query row is (query_id, qtext, kind, msm):
 
     - ``kind='must'`` — the doc must contain EVERY analyzed term
-      (bool.must; OOV-free by construction: a query term the doc lacks
-      simply fails it);
+      (bool.must; a query term the doc lacks fails it);
     - ``kind='msm'`` — at least ``msm`` distinct analyzed terms
       (bool.should + minimum_should_match);
     - ``kind='phrase'`` — the exact analyzed token sequence occurs
@@ -1056,51 +1055,49 @@ def percolate(spark: SparkSession, queries: DataFrame,
     registered query).
 
     Plan shape — the part that matters at 10^12 docs/day ingest: the
-    registered query set is human-to-thousands scale and BROADCAST;
-    documents never shuffle. Term kinds: one explode of each doc's
-    DISTINCT tokens → broadcast-join the query terms → one hash agg
-    counting distinct matches per (url, query_id) → the counting
-    predicate (the Q10 ``>=``/``==`` generalization, applied at
-    ingest). Phrase kind: zero shuffles at all — the doc's normalized
-    token stream is space-joined once and the phrase test is a
-    guarded-substring column predicate (tokens are [a-z0-9]+ joined by
-    single spaces, so ``' p1 p2 '`` substring-matches exactly the
-    token subsequence), evaluated under a broadcast nested-loop
-    against the tiny phrase set. ES pays the same shape: every doc is
-    tested against every registered query's memory-resident form."""
-    from .search import analyze_queries
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-        lambda t: (t != F.lit("")) & (F.length(t) <= F.lit(64)))
-    d = docs.select("url", toks.alias("toks"))
+    registered query set is broadcast and there is NO Exchange
+    anywhere in the plan (plan-asserted, tests/test_plans.py) — both
+    forms are column predicates under one broadcast nested-loop each.
+    Term kinds: both sides' token sets are plain column expressions
+    (the frozen JVM tokenizer), the predicate is
+    ``size(array_intersect(doc_tokens, query_terms)) >= needed`` with
+    ``needed = |query terms|`` for must and ``msm`` for msm — no
+    explode, no aggregation, no shuffle. Phrase kind: the doc's
+    normalized token stream is space-joined once and the test is a
+    guarded-substring predicate (tokens are [a-z0-9]+ joined by single
+    spaces, so ``' p1 p2 '`` substring-matches exactly the token
+    subsequence). ES pays the same shape: every doc is tested against
+    every registered query's memory-resident form; candidate
+    pre-selection (ES's internal percolator index) is an optimization
+    over the same contract, not a different answer."""
+    def _tok(col):
+        return F.filter(
+            F.split(F.lower(col), "[^a-z0-9]+"),
+            lambda t: (t != F.lit("")) & (F.length(t) <= F.lit(64)))
 
-    term_q = queries.filter(F.col("kind").isin("must", "msm"))
-    qterms = analyze_queries(term_q)          # (query_id, term) distinct
-    qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-    qmeta = (term_q.select("query_id", "kind", "msm")
-             .join(qn, "query_id"))
-    tok_rows = d.select("url", F.explode(F.array_distinct("toks"))
-                        .alias("term"))
-    counts = (tok_rows.join(F.broadcast(qterms), "term")
-              .groupBy("url", "query_id")
-              .agg(F.count("*").alias("hit")))
-    term_hits = (counts.join(F.broadcast(qmeta), "query_id")
-                 .filter(((F.col("kind") == "must")
-                          & (F.col("hit") == F.col("qn")))
-                         | ((F.col("kind") == "msm")
-                            & (F.col("hit") >= F.col("msm"))))
-                 .select("url", "query_id", "kind"))
+    d = docs.select("url", F.array_distinct(_tok(F.col("text")))
+                    .alias("tarr"),
+                    F.concat(F.lit(" "),
+                             F.concat_ws(" ", _tok(F.col("text"))),
+                             F.lit(" ")).alias("hay"))
+
+    term_q = (queries.filter(F.col("kind").isin("must", "msm"))
+              .select("query_id", "kind", "msm",
+                      F.array_distinct(_tok(F.col("qtext")))
+                      .alias("qarr")))
+    need = (F.when(F.col("kind") == "must", F.size("qarr"))
+            .otherwise(F.col("msm")))
+    term_hits = (d.join(
+        F.broadcast(term_q),
+        F.size(F.array_intersect(F.col("tarr"), F.col("qarr"))) >= need)
+        .select("url", "query_id", "kind"))
 
     phrase_q = (queries.filter(F.col("kind") == "phrase")
                 .select("query_id", "kind",
                         F.concat(F.lit(" "),
-                                 F.concat_ws(" ", F.split(
-                                     F.lower("qtext"), "[^a-z0-9]+")),
+                                 F.concat_ws(" ", _tok(F.col("qtext"))),
                                  F.lit(" ")).alias("needle")))
-    stream = d.select(
-        "url", F.concat(F.lit(" "), F.concat_ws(" ", "toks"),
-                        F.lit(" ")).alias("hay"))
-    phrase_hits = (stream.join(
+    phrase_hits = (d.join(
         F.broadcast(phrase_q), F.col("hay").contains(F.col("needle")))
         .select("url", "query_id", "kind"))
     return term_hits.unionByName(phrase_hits)

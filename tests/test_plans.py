@@ -133,3 +133,40 @@ def test_phrase_range_join_prunes_and_stays_arrow(spark, tmpdir_session, pages_p
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_percolate_zero_shuffles(spark, pages_parquet):
+    """The percolator's ENTIRE plan — both the term-set and phrase
+    forms — is broadcast nested-loops over column predicates: no
+    Exchange other than the tiny broadcast of the registered set (the
+    ingest-scale contract: documents never shuffle)."""
+    from aarhus_spark.operators.eslayer import percolate
+    docs = spark.read.parquet(pages_parquet).select("url", "text")
+    qdf = spark.createDataFrame(
+        [(0, "the data", "phrase", 0), (1, "the data", "must", 0),
+         (2, "the data query", "msm", 2)],
+        "query_id long, qtext string, kind string, msm int")
+    plan = _plan(percolate(spark, qdf, docs))
+    phys = plan[plan.index("== Physical Plan =="):]
+    assert "BroadcastNestedLoopJoin" in phys
+    assert "Exchange" not in phys.replace("BroadcastExchange", ""), phys
+
+
+def test_range_agg_is_broadcast_theta_join(spark, tmpdir_session, pages_parquet):
+    """The range agg's overlap-capable join against the declared ranges
+    must be a BroadcastNestedLoopJoin (theta, tiny build side), never a
+    sort-merge join."""
+    import os
+    from aarhus_spark.operators.build import build_index
+    from aarhus_spark.operators.eslayer import search_range_agg
+    out = os.path.join(tmpdir_session, "idx_plan_range")
+    from aarhus_spark.operators.build import IndexPaths
+    if not os.path.exists(IndexPaths(out).stats):
+        build_index(spark, spark.read.parquet(pages_parquet), out,
+                    n_partitions=2, n_buckets=2, salts=2)
+    qdf = spark.createDataFrame([(0, "the data")],
+                                "query_id long, qtext string")
+    plan = _plan(search_range_agg(spark, out, qdf,
+                                  [("*-30", None, 30), ("30-*", 30, None)]))
+    phys = plan[plan.index("== Physical Plan =="):]
+    assert "BroadcastNestedLoopJoin" in phys
