@@ -2037,7 +2037,10 @@ def q_es_metric_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stats`` agg on dl (value_count/min/max/sum/avg), exact
     ``percentiles`` (p50, p95), ``cardinality`` on the url's source
     segment — plus the same row under a non-scoring ``bool.filter``
-    range clause on warc_ts (agg_kind='filtered')."""
+    range clause on warc_ts (agg_kind='filtered') — and the Q43
+    ``global`` agg arm: the same metric row over the WHOLE corpus,
+    query-independent, attached per query_id (ES global-agg
+    semantics)."""
     from .operators.eslayer import search_metric_aggs
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
@@ -2047,7 +2050,10 @@ def q_es_metric_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = (search_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE,
                             ts_lo=METRIC_TS_LO, ts_hi=METRIC_TS_HI)
          .select(F.lit("filtered").alias("agg_kind"), "*"))
-    return a.unionByName(f)
+    from .operators.eslayer import global_metric_aggs
+    g = (global_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE)
+         .select(F.lit("global").alias("agg_kind"), "*"))
+    return a.unionByName(f).unionByName(g)
 
 
 def _metric_aggs_oracle_sql() -> str:
@@ -2070,6 +2076,12 @@ SELECT 'all' AS agg_kind, query_id, {aggs} FROM j GROUP BY query_id
 UNION ALL
 SELECT 'filtered' AS agg_kind, query_id, {aggs} FROM j
 WHERE did >= 100 AND did < 800 GROUP BY query_id
+UNION ALL
+SELECT 'global' AS agg_kind, q.query_id, {aggs}
+FROM (SELECT DISTINCT query_id FROM qraw) q
+CROSS JOIN (SELECT dl.dl, regexp_extract(i.url, '{FACET_RE}', 1) AS src
+            FROM dl JOIN ids i USING (docid))
+GROUP BY q.query_id
 """
 
 
@@ -2292,13 +2304,15 @@ COMP_PAGE = 5
 
 
 def q_es_bucket_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q30+Q31+Q32+Q33 (one tagged union): ES numeric ``histogram``
+    """Q30+Q31+Q32+Q33+Q42 (one tagged union): ES numeric ``histogram``
     (interval buckets on dl, key-asc), ``range`` agg (declared
     from-inclusive/to-exclusive ranges, empty buckets kept), keyed
     ``filters`` agg (named predicates, count 0 included), and the
     ``composite`` agg paged by after-key (page 1 + the cursor-derived
     page 2 — queries whose page 1 is not full get no page 2, on both
-    engines). Integer/string compared values only — no FP anywhere."""
+    engines), and the ``adjacency_matrix`` agg over the same named
+    filters (single + 'A&B' pairwise buckets, empty omitted, key-asc).
+    Integer/string compared values only — no FP anywhere."""
     from .operators.eslayer import (search_composite, search_filters_agg,
                                     search_histogram, search_range_agg)
     idx = _ensure_index(spark, sf_dir)
@@ -2328,11 +2342,26 @@ def q_es_bucket_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.col("k1"),
                         F.col("k2").cast("string")).alias("bucket"),
             "doc_count", "brank")
+    from .operators.eslayer import search_adjacency_matrix
+    adj = (search_adjacency_matrix(spark, idx, qdf, dict(FILTERS_SPEC))
+           .select(F.lit("adj").alias("agg_kind"), "query_id", "bucket",
+                   "doc_count", "brank"))
     return (hist.unionByName(rng).unionByName(flt)
-            .unionByName(_c(p1, "comp1")).unionByName(_c(p2, "comp2")))
+            .unionByName(_c(p1, "comp1")).unionByName(_c(p2, "comp2"))
+            .unionByName(adj))
 
 
 def _bucket_aggs_oracle_sql() -> str:
+    names = [n for n, _ in FILTERS_SPEC]
+    preds = dict(FILTERS_SPEC)
+    adj_keys = [(names[i], names[j]) for i in range(len(names))
+                for j in range(i, len(names))]
+    adj_union = "\nUNION ALL\n".join(
+        f"SELECT query_id, '{a if a == b else f'{a}&{b}'}' AS bucket, "
+        f"CAST(sum(CASE WHEN ({preds[a]}) "
+        f"{'' if a == b else f'AND ({preds[b]}) '}THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS doc_count FROM j GROUP BY query_id"
+        for a, b in adj_keys)
     rvals = ", ".join(
         f"({i + 1}, '{k}', "
         f"{'CAST(NULL AS DOUBLE)' if lo is None else float(lo)}, "
@@ -2397,6 +2426,11 @@ UNION ALL
 SELECT 'comp2', query_id, k1 || '|' || CAST(k2 AS VARCHAR), doc_count,
        rn - {COMP_PAGE}
 FROM cranked WHERE rn > {COMP_PAGE} AND rn <= {2 * COMP_PAGE}
+UNION ALL
+SELECT 'adj', query_id, bucket, doc_count,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY bucket)
+            AS BIGINT)
+FROM ({adj_union}) az WHERE doc_count > 0
 """
 
 

@@ -59,6 +59,10 @@ of each, built over the engine's own artifacts:
 - :func:`percolate` — the ES *percolate* query (reverse search):
   incoming docs matched against broadcast registered queries at
   ingest — docs never shuffle.
+- :func:`search_adjacency_matrix` — ES ``adjacency_matrix``: single +
+  pairwise-intersection buckets of named filters, one codegen'd agg.
+- :func:`global_metric_aggs` — ES ``global`` agg: the Q25 metric row
+  over the WHOLE corpus, attached to every query.
 
 Everything stays JVM-side (built-in column functions); the only
 driver-side work is per-query term selection for MLT (one indexed
@@ -1101,3 +1105,74 @@ def percolate(spark: SparkSession, queries: DataFrame,
         F.broadcast(phrase_q), F.col("hay").contains(F.col("needle")))
         .select("url", "query_id", "kind"))
     return term_hits.unionByName(phrase_hits)
+
+
+def search_adjacency_matrix(spark: SparkSession, index_dir,
+                            queries: DataFrame, filters: dict,
+                            **bool_kwargs) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: named filters A, B, … produce a
+    bucket per filter AND per pairwise intersection (ES key format
+    ``A&B``, the declared ``&`` separator), each counting the matched
+    docs satisfying the conjunction; empty buckets are omitted (ES
+    behavior) and buckets order key-asc per query. Predicates are SQL
+    expressions over the doc-meta columns, like :func:`search_filters_agg`.
+
+    Plan shape: ONE codegen'd hash aggregation — every single and pair
+    key is a ``sum(CASE WHEN pa AND pb)`` column of the same agg over
+    the matched⋈doclens rows (n(n+1)/2 columns for n filters — ES
+    documents the same quadratic growth and caps n at 100), then a
+    driver-free unpivot. Returns (query_id, bucket, doc_count,
+    brank)."""
+    names = list(filters)
+    keys = [(names[i], names[j]) for i in range(len(names))
+            for j in range(i, len(names))]
+    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    meta = _doc_meta(spark, index_dir)
+    j = matched.join(meta, "docid")
+    cols = []
+    for k, (a, b) in enumerate(keys):
+        pred = (F.expr(filters[a]) if a == b
+                else (F.expr(filters[a]) & F.expr(filters[b])))
+        cols.append(F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+                    .alias(f"__p{k}"))
+    agg = j.groupBy("query_id").agg(*cols)
+    stacked = agg.unpivot(["query_id"],
+                          [f"__p{k}" for k in range(len(keys))],
+                          "pidx", "doc_count")
+    bucket = F.coalesce(*[
+        F.when(F.col("pidx") == f"__p{k}",
+               F.lit(a if a == b else f"{a}&{b}"))
+        for k, (a, b) in enumerate(keys)])
+    w = Window.partitionBy("query_id").orderBy(F.asc("bucket"))
+    return (stacked.select("query_id", bucket.alias("bucket"),
+                           F.col("doc_count").cast("long")
+                           .alias("doc_count"))
+            .filter(F.col("doc_count") > 0)
+            .withColumn("brank", F.row_number().over(w).cast("long"))
+            .select("query_id", "bucket", "doc_count", "brank"))
+
+
+def global_metric_aggs(spark: SparkSession, index_dir,
+                       queries: DataFrame, round_to: int = 9,
+                       bucket_regex: str = HOST_RE) -> DataFrame:
+    """ES ``global`` agg: metric aggregations computed over the WHOLE
+    corpus, ignoring the query — ES attaches the same global row to
+    every response, so one row per query_id is returned with the Q25
+    metric columns computed over ALL live docs (the doclens sink
+    directly; no match set is ever built).
+
+    Plan shape: one hash agg over doclens to a SINGLE row, then a tiny
+    broadcast cross join against the query ids."""
+    meta = _doc_meta(spark, index_dir).select(
+        "docid", "dl",
+        F.regexp_extract("url", bucket_regex, 1).alias("host"))
+    g = meta.agg(
+        F.count("*").alias("doc_count"),
+        F.min("dl").alias("min_dl"),
+        F.max("dl").alias("max_dl"),
+        F.sum("dl").alias("sum_dl"),
+        F.round(F.avg("dl"), round_to).alias("avg_dl"),
+        F.round(F.percentile("dl", F.lit(0.5)), round_to).alias("p50_dl"),
+        F.round(F.percentile("dl", F.lit(0.95)), round_to).alias("p95_dl"),
+        F.countDistinct("host").alias("host_card"))
+    return queries.select("query_id").distinct().crossJoin(F.broadcast(g))

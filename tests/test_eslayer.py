@@ -808,3 +808,54 @@ def test_percolate_vs_python_twin(spark, eidx):
     # each kind non-vacuous
     kinds = {qid for _, qid in got}
     assert {0, 1, 2} <= kinds
+
+
+def test_adjacency_matrix_vs_python_twin(spark, eidx):
+    from aarhus_spark.operators.eslayer import search_adjacency_matrix
+    out, oidx, _, _ = eidx
+    filters = {"a": "dl < 150", "b": "dl >= 50", "c": "dl >= 9999"}
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    res = search_adjacency_matrix(spark, out, qdf, filters)
+    got = sorted((r["query_id"], r["bucket"], r["doc_count"], r["brank"])
+                 for r in res.collect())
+    preds = {"a": lambda dl: dl < 150, "b": lambda dl: dl >= 50,
+             "c": lambda dl: dl >= 9999}
+    names = list(filters)
+    keys = [(names[i], names[j]) for i in range(len(names))
+            for j in range(i, len(names))]
+    exp = []
+    for qid, qtext in QUERIES:
+        dls = [int(oidx.dls[d]) for d in _all_matches(oidx, qtext)]
+        rows = []
+        for a, b in keys:
+            n = sum(1 for dl in dls if preds[a](dl) and preds[b](dl))
+            if n:
+                rows.append((a if a == b else f"{a}&{b}", n))
+        exp.extend((qid, k, n, i + 1)
+                   for i, (k, n) in enumerate(sorted(rows)))
+    assert got == sorted(exp)
+    assert len(got) > 0
+    # the intersection bucket is non-vacuous and empty buckets omitted
+    assert any("&" in g[1] for g in got)
+    assert not any(g[1].startswith("c") or g[1].endswith("&c")
+                   for g in got)
+
+
+def test_global_metric_aggs_query_independent(spark, eidx):
+    import numpy as np
+    from aarhus_spark.operators.eslayer import global_metric_aggs
+    out, oidx, _, _ = eidx
+    qdf = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    rows = global_metric_aggs(spark, out, qdf).collect()
+    assert len(rows) == len(QUERIES)
+    vals = {tuple(r[c] for c in rows[0].asDict() if c != "query_id")
+            for r in rows}
+    assert len(vals) == 1, "global agg must be identical for every query"
+    r = rows[0]
+    dls = np.sort(oidx.dls)
+    assert r["doc_count"] == oidx.n_docs
+    assert r["min_dl"] == int(dls[0]) and r["max_dl"] == int(dls[-1])
+    assert r["sum_dl"] == int(dls.sum())
+    assert r["avg_dl"] == pytest.approx(dls.mean(), abs=1e-9)
+    assert r["p50_dl"] == pytest.approx(
+        float(np.percentile(dls, 50, method="linear")), abs=1e-9)
