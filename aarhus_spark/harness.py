@@ -1527,16 +1527,20 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.eslayer import (search_date_histogram, search_facets,
                                     search_significant_terms)
     from .sources.io import pages_from_documents
+    from .operators.eslayer import search_matches
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES, "query_id long, qtext string")
+    # ES computes every agg of a request over ONE match set — reuse it
+    m = search_matches(spark, idx, qdf).persist()
     terms = (search_facets(spark, idx, qdf, n_buckets=FACET_BUCKETS,
-                           bucket_regex=FACET_RE)
+                           bucket_regex=FACET_RE, matched=m)
              .select(F.lit("terms").alias("facet_kind"), "*"))
-    date = (search_date_histogram(spark, idx, qdf, interval="minute")
+    date = (search_date_histogram(spark, idx, qdf, interval="minute",
+                                  matched=m)
             .select(F.lit("date").alias("facet_kind"), "*"))
     sig = search_significant_terms(spark, idx, qdf,
                                    pages_from_documents(spark, sf_dir),
-                                   n_terms=SIG_TERMS)
+                                   n_terms=SIG_TERMS, matched=m)
     sig = sig.select(F.lit("sig").alias("facet_kind"), "query_id",
                      F.col("term").alias("bucket"),
                      F.col("fg_df").alias("doc_count"),
@@ -2045,10 +2049,14 @@ def q_es_metric_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
                                 "query_id long, qtext string")
-    a = (search_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE)
+    from .operators.eslayer import search_matches
+    m = search_matches(spark, idx, qdf).persist()
+    a = (search_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE,
+                            matched=m)
          .select(F.lit("all").alias("agg_kind"), "*"))
     f = (search_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE,
-                            ts_lo=METRIC_TS_LO, ts_hi=METRIC_TS_HI)
+                            ts_lo=METRIC_TS_LO, ts_hi=METRIC_TS_HI,
+                            matched=m)
          .select(F.lit("filtered").alias("agg_kind"), "*"))
     from .operators.eslayer import global_metric_aggs
     g = (global_metric_aggs(spark, idx, qdf, bucket_regex=FACET_RE)
@@ -2318,24 +2326,33 @@ def q_es_bucket_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
                                 "query_id long, qtext string")
-    hist = (search_histogram(spark, idx, qdf, interval=HIST_INTERVAL)
+    from .operators.eslayer import search_matches
+    # one match set for every agg of the request (ES one-pass contract)
+    m = search_matches(spark, idx, qdf).persist()
+    hist = (search_histogram(spark, idx, qdf, interval=HIST_INTERVAL,
+                             matched=m)
             .select(F.lit("hist").alias("agg_kind"), "query_id",
                     F.col("bucket").cast("string").alias("bucket"),
                     "doc_count", "brank"))
-    rng = (search_range_agg(spark, idx, qdf, RANGE_SPEC)
+    rng = (search_range_agg(spark, idx, qdf, RANGE_SPEC, matched=m)
            .select(F.lit("range").alias("agg_kind"), "query_id", "bucket",
                    "doc_count", "brank"))
-    flt = (search_filters_agg(spark, idx, qdf, dict(FILTERS_SPEC))
+    flt = (search_filters_agg(spark, idx, qdf, dict(FILTERS_SPEC),
+                              matched=m)
            .select(F.lit("filters").alias("agg_kind"), "query_id",
                    "bucket", "doc_count", "brank"))
     p1 = search_composite(spark, idx, qdf, page_size=COMP_PAGE,
-                          bucket_regex=FACET_RE, interval=HIST_INTERVAL)
+                          bucket_regex=FACET_RE, interval=HIST_INTERVAL,
+                          matched=m)
     cur = (p1.filter(F.col("brank") == COMP_PAGE)
            .select("query_id", F.col("k1").alias("after_k1"),
                    F.col("k2").alias("after_k2")))
     p2 = search_composite(spark, idx, qdf.join(cur, "query_id", "left_semi"),
                           page_size=COMP_PAGE, after=cur,
-                          bucket_regex=FACET_RE, interval=HIST_INTERVAL)
+                          bucket_regex=FACET_RE, interval=HIST_INTERVAL,
+                          matched=m.join(F.broadcast(
+                              cur.select("query_id")), "query_id",
+                              "left_semi"))
     def _c(df, kind):
         return df.select(
             F.lit(kind).alias("agg_kind"), "query_id",
@@ -2343,7 +2360,8 @@ def q_es_bucket_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("k2").cast("string")).alias("bucket"),
             "doc_count", "brank")
     from .operators.eslayer import search_adjacency_matrix
-    adj = (search_adjacency_matrix(spark, idx, qdf, dict(FILTERS_SPEC))
+    adj = (search_adjacency_matrix(spark, idx, qdf, dict(FILTERS_SPEC),
+                                   matched=m)
            .select(F.lit("adj").alias("agg_kind"), "query_id", "bucket",
                    "doc_count", "brank"))
     return (hist.unionByName(rng).unionByName(flt)

@@ -121,6 +121,7 @@ def _doc_meta(spark: SparkSession, index_dir) -> DataFrame:
 
 def search_facets(spark: SparkSession, index_dir, queries: DataFrame,
                   n_buckets: int = 10, bucket_regex: str = HOST_RE,
+                  matched: DataFrame | None = None,
                   **bool_kwargs) -> DataFrame:
     """ES ``aggs: {terms: {field: host}}`` alongside a query: bucket
     ALL matching docs by a url-derived key (``bucket_regex`` group 1 —
@@ -133,7 +134,9 @@ def search_facets(spark: SparkSession, index_dir, queries: DataFrame,
     docid key, AQE-eligible), then one hash aggregation and a tiny
     per-query window over bucket counts. Returns
     (query_id, bucket, doc_count, brank)."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select(
         "docid", F.regexp_extract("url", bucket_regex, 1).alias("bucket"))
     counts = (matched.join(meta, "docid")
@@ -149,6 +152,7 @@ def search_facets(spark: SparkSession, index_dir, queries: DataFrame,
 def search_date_histogram(spark: SparkSession, index_dir,
                           queries: DataFrame, interval: str = "minute",
                           n_buckets: int = 1000,
+                          matched: DataFrame | None = None,
                           **bool_kwargs) -> DataFrame:
     """ES ``aggs: {date_histogram: {field: warc_ts, calendar_interval:
     …}}`` alongside a query: bucket ALL matching docs by the
@@ -163,7 +167,9 @@ def search_date_histogram(spark: SparkSession, index_dir,
     Plan shape: identical to :func:`search_facets` — matched set
     equi-joins doclens on docid, one hash agg, a tiny per-query
     window. ``date_trunc`` is a JVM column expression."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select(
         "docid",
         F.date_format(F.date_trunc(interval, "warc_ts"),
@@ -180,6 +186,7 @@ def search_date_histogram(spark: SparkSession, index_dir,
 def search_significant_terms(spark: SparkSession, index_dir,
                              queries: DataFrame, docs: DataFrame,
                              n_terms: int = 10, round_to: int = 9,
+                             matched: DataFrame | None = None,
                              **bool_kwargs) -> DataFrame:
     """ES ``significant_terms`` agg: terms unusually frequent in the
     query's matched docs (foreground) relative to the whole corpus
@@ -199,7 +206,9 @@ def search_significant_terms(spark: SparkSession, index_dir,
     broadcast of per-query fg sizes, an equi-join with the dictionary
     (the engine's smallest table), a tiny per-query window. All
     JVM-side column functions."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     fg_size = matched.groupBy("query_id").agg(
         F.count("*").alias("fg_size"))
     meta = _doc_meta(spark, index_dir).select("docid", "url")
@@ -292,6 +301,7 @@ def search_function_score(spark: SparkSession, index_dir,
                           origin: str = "2026-01-01 00:00:00",
                           scale_days: float = 30.0,
                           decay: float = 0.5,
+                          matched: DataFrame | None = None,
                           **bool_kwargs) -> DataFrame:
     """ES ``function_score`` with an ``exp`` decay on ``warc_ts``
     (multiply mode): final = bm25 · decay^(|ts − origin| / scale),
@@ -300,7 +310,9 @@ def search_function_score(spark: SparkSession, index_dir,
     low-BM25 but recent doc can enter the top k). The decay is one
     JVM column expression on the matched set joined with doclens —
     no extra decode, no Python."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select("docid", "warc_ts")
     age = (F.abs(F.unix_timestamp("warc_ts")
                  - F.unix_timestamp(F.lit(origin))) / F.lit(86400.0))
@@ -316,7 +328,8 @@ def search_function_score(spark: SparkSession, index_dir,
 
 def search_page(spark: SparkSession, index_dir, queries: DataFrame,
                 page_size: int = TOP_K, after: DataFrame | None = None,
-                round_to: int | None = None, **bool_kwargs) -> DataFrame:
+                round_to: int | None = None, matched: DataFrame | None = None,
+                **bool_kwargs) -> DataFrame:
     """ES ``search_after`` keyset pagination on the deterministic sort
     key (score desc, docid asc). ``after`` is (query_id, after_score,
     after_docid) — the sort key of the LAST hit of the previous page;
@@ -328,7 +341,9 @@ def search_page(spark: SparkSession, index_dir, queries: DataFrame,
     ``round_to`` ranks and compares on round(score, round_to) instead
     of the raw double — the sort-key choice the harness twin uses so
     an FP-summation-order difference can never flip a page boundary."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     key = (F.round(F.col("score"), round_to) if round_to is not None
            else F.col("score"))
     matched = matched.withColumn("__key", key)
@@ -484,6 +499,7 @@ def search_metric_aggs(spark: SparkSession, index_dir, queries: DataFrame,
                        round_to: int = 9, ts_lo: str | None = None,
                        ts_hi: str | None = None,
                        bucket_regex: str = HOST_RE,
+                       matched: DataFrame | None = None,
                        **bool_kwargs) -> DataFrame:
     """ES *metric* aggregations over the match set — one row per query
     carrying the ``stats`` agg on the doc-length field (``min``/``max``/
@@ -505,7 +521,9 @@ def search_metric_aggs(spark: SparkSession, index_dir, queries: DataFrame,
     percentile is a JVM built-in, so the whole agg stays codegen'd.
     Averages/percentiles round to ``round_to`` so a summation-order
     last-ulp can never flip a compared value."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select(
         "docid", "dl", "warc_ts",
         F.regexp_extract("url", bucket_regex, 1).alias("host"))
@@ -627,6 +645,7 @@ def search_top_hits(spark: SparkSession, index_dir, queries: DataFrame,
                     n_buckets: int = 10, k_hits: int = 3,
                     bucket_regex: str = HOST_RE,
                     round_to: int | None = None,
+                    matched: DataFrame | None = None,
                     **bool_kwargs) -> DataFrame:
     """ES ``terms`` agg with a ``top_hits`` sub-agg: the top
     ``n_buckets`` buckets per query by (doc_count desc, bucket asc) —
@@ -644,7 +663,9 @@ def search_top_hits(spark: SparkSession, index_dir, queries: DataFrame,
     top-N join back is a tiny broadcast (n_queries × n_buckets rows).
     Returns (query_id, bucket, doc_count, brank, hrank, docid,
     score)."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select(
         "docid", F.regexp_extract("url", bucket_regex, 1).alias("bucket"))
     key = (F.round(F.col("score"), round_to) if round_to is not None
@@ -667,6 +688,7 @@ def search_top_hits(spark: SparkSession, index_dir, queries: DataFrame,
 
 def search_histogram(spark: SparkSession, index_dir, queries: DataFrame,
                      interval: int = 25, n_buckets: int = 10000,
+                     matched: DataFrame | None = None,
                      **bool_kwargs) -> DataFrame:
     """ES ``aggs: {histogram: {field: dl, interval: N}}`` alongside a
     query: fixed-width numeric buckets over the matched docs' doc
@@ -678,7 +700,9 @@ def search_histogram(spark: SparkSession, index_dir, queries: DataFrame,
     equi-joins the doclens sink on docid (shuffle join, AQE-eligible),
     the bucket key is one JVM expression, then a hash agg and a tiny
     per-query window. Returns (query_id, bucket, doc_count, brank)."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select("docid", "dl")
     counts = (matched.join(meta, "docid")
               .withColumn("bucket", (F.floor(F.col("dl") / interval)
@@ -692,7 +716,8 @@ def search_histogram(spark: SparkSession, index_dir, queries: DataFrame,
 
 
 def search_range_agg(spark: SparkSession, index_dir, queries: DataFrame,
-                     ranges: list, **bool_kwargs) -> DataFrame:
+                     ranges: list, matched: DataFrame | None = None,
+                     **bool_kwargs) -> DataFrame:
     """ES ``aggs: {range: {field: dl, ranges: [...]}}``: each range is
     ``(key, lo, hi)`` with ``from`` INCLUSIVE, ``to`` EXCLUSIVE and
     ``None`` for an open end — ES's exact range-agg bounds. EVERY
@@ -713,7 +738,9 @@ def search_range_agg(spark: SparkSession, index_dir, queries: DataFrame,
             for i, (key, lo, hi) in enumerate(ranges)]
     rdf = spark.createDataFrame(
         rows, "brank long, bucket string, lo double, hi double")
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select("docid", "dl")
     j = matched.join(meta, "docid")
     cond = ((F.col("lo").isNull() | (F.col("dl") >= F.col("lo")))
@@ -731,7 +758,8 @@ def search_range_agg(spark: SparkSession, index_dir, queries: DataFrame,
 
 
 def search_filters_agg(spark: SparkSession, index_dir, queries: DataFrame,
-                       filters: dict, **bool_kwargs) -> DataFrame:
+                       filters: dict, matched: DataFrame | None = None,
+                       **bool_kwargs) -> DataFrame:
     """ES keyed ``filters`` agg: named sub-buckets, each counting the
     matched docs satisfying its predicate — a SQL expression over the
     doc-meta columns (docid, url, dl, warc_ts). Every named bucket is
@@ -744,7 +772,9 @@ def search_filters_agg(spark: SparkSession, index_dir, queries: DataFrame,
     (bucket, doc_count) rows and a zero-fill left join from the query
     list."""
     names = list(filters)
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir)
     j = matched.join(meta, "docid")
     agg = j.groupBy("query_id").agg(*[
@@ -769,6 +799,7 @@ def search_filters_agg(spark: SparkSession, index_dir, queries: DataFrame,
 def search_composite(spark: SparkSession, index_dir, queries: DataFrame,
                      page_size: int = 10, after: DataFrame | None = None,
                      bucket_regex: str = HOST_RE, interval: int = 25,
+                     matched: DataFrame | None = None,
                      **bool_kwargs) -> DataFrame:
     """ES ``composite`` agg over two sources — a url-derived terms
     source (``bucket_regex`` group 1) and a dl histogram source —
@@ -786,7 +817,9 @@ def search_composite(spark: SparkSession, index_dir, queries: DataFrame,
     k1, k2), the broadcast cursor filter BEFORE the per-query window —
     the window ranks only buckets past the cursor. Returns
     (query_id, k1, k2, doc_count, brank)."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select(
         "docid",
         F.regexp_extract("url", bucket_regex, 1).alias("k1"),
@@ -811,6 +844,7 @@ def search_composite(spark: SparkSession, index_dir, queries: DataFrame,
 def search_pipeline_aggs(spark: SparkSession, index_dir,
                          queries: DataFrame, interval: str = "minute",
                          top_n: int | None = None,
+                         matched: DataFrame | None = None,
                          **bool_kwargs) -> DataFrame:
     """ES *pipeline* aggregations over a date_histogram parent: for
     each calendar bucket of the matched docs, ``cumulative_sum`` of
@@ -827,7 +861,9 @@ def search_pipeline_aggs(spark: SparkSession, index_dir,
     hundred rows per query, trivially small whatever the corpus size;
     pipeline aggs in ES likewise run on the reduced buckets, never the
     documents."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select(
         "docid",
         F.date_format(F.date_trunc(interval, "warc_ts"),
@@ -857,6 +893,7 @@ def search_collapse(spark: SparkSession, index_dir, queries: DataFrame,
                     k: int = TOP_K, inner_k: int = 3,
                     collapse_regex: str = HOST_RE,
                     round_to: int | None = None,
+                    matched: DataFrame | None = None,
                     **bool_kwargs) -> DataFrame:
     """ES field ``collapse`` + ``inner_hits``: the result list is
     deduplicated to ONE representative hit per collapse key (the
@@ -875,7 +912,9 @@ def search_collapse(spark: SparkSession, index_dir, queries: DataFrame,
     (query_id, rank, ckey, hrank, docid, score): rank = the group's
     position, hrank = the hit's rank inside its group (hrank 1 IS the
     representative)."""
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir).select(
         "docid", F.regexp_extract("url", collapse_regex, 1).alias("ckey"))
     key = (F.round(F.col("score"), round_to) if round_to is not None
@@ -1109,6 +1148,7 @@ def percolate(spark: SparkSession, queries: DataFrame,
 
 def search_adjacency_matrix(spark: SparkSession, index_dir,
                             queries: DataFrame, filters: dict,
+                            matched: DataFrame | None = None,
                             **bool_kwargs) -> DataFrame:
     """ES ``adjacency_matrix`` agg: named filters A, B, … produce a
     bucket per filter AND per pairwise intersection (ES key format
@@ -1126,7 +1166,9 @@ def search_adjacency_matrix(spark: SparkSession, index_dir,
     names = list(filters)
     keys = [(names[i], names[j]) for i in range(len(names))
             for j in range(i, len(names))]
-    matched = search_matches(spark, index_dir, queries, **bool_kwargs)
+    if matched is None:
+        matched = search_matches(spark, index_dir, queries,
+                                 **bool_kwargs)
     meta = _doc_meta(spark, index_dir)
     j = matched.join(meta, "docid")
     cols = []
