@@ -1254,6 +1254,7 @@ PREFIX_CAP = 1024
 # positional constraints)
 PPREFIX_QUERIES = [(0, "table s"), (1, "data v"), (2, "the part d")]
 PPREFIX_CAP = 50   # ES match_phrase_prefix max_expansions default
+MBP_QUERIES = [(0, "table s"), (1, "hash jo"), (2, "the part d")]
 
 # wildcard patterns (ES `wildcard`, Q15): 's*' = the 6-term prefix
 # shape (range pushdown), '?ash' → hash (single-char wildcard),
@@ -1291,9 +1292,14 @@ def q_bm25_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "query_id long, wpattern string")
     rq = spark.createDataFrame(REGEXP_QUERIES,
                                "query_id long, rpattern string")
+    from .operators.search import search_match_bool_prefix
+    mq = spark.createDataFrame(MBP_QUERIES, "query_id long, qtext string")
     pre = _rerank_rounded(search_prefix(spark, idx, pq_, k=20,
                                         cap=PREFIX_CAP)).select(
         F.lit("prefix").alias("kind"), "*")
+    mbp = _rerank_rounded(search_match_bool_prefix(spark, idx, mq, k=20,
+                                                   cap=PREFIX_CAP)).select(
+        F.lit("mbp").alias("kind"), "*")
     fuz = _rerank_rounded(search_fuzzy(spark, idx, fq, k=20,
                                        max_edits=FUZZY_EDITS,
                                        cap=PREFIX_CAP)).select(
@@ -1308,7 +1314,7 @@ def q_bm25_prefix_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         cap=PREFIX_CAP)).select(
         F.lit("regexp").alias("kind"), "*")
     return (pre.unionByName(fuz).unionByName(pp)
-            .unionByName(wld).unionByName(rex))
+            .unionByName(wld).unionByName(rex).unionByName(mbp))
 
 
 def _pprefix_sql_blocks(k1: float, b: float) -> tuple[str, str]:
@@ -1368,6 +1374,11 @@ def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
     wvals = ", ".join(f"({qid}, '{_wildcard_like(p)}')"
                       for qid, p in WILDCARD_QUERIES)
     rvals = ", ".join(f"({qid}, '{p}')" for qid, p in REGEXP_QUERIES)
+    from .textops import tokenize as _tok
+    mvals = ", ".join(
+        "({}, '{}', '{}')".format(
+            qid, " ".join(_tok(q)[:-1]), _tok(q)[-1])
+        for qid, q in MBP_QUERIES)
     scored_tmpl = """
 , scored_{tag} AS (
   SELECT q.query_id, tf.docid,
@@ -1433,7 +1444,21 @@ def _prefix_fuzzy_oracle_sql(k: int = 10) -> str:
                 ORDER BY d.df DESC, d.term) AS rn
     FROM qrex r JOIN dfs d ON regexp_full_match(d.term, r.pat)) z
   WHERE rn <= {PREFIX_CAP}
-){scored_tmpl.format(tag="pre", k1=K1, b=B)}{scored_tmpl.format(tag="fuz", k1=K1, b=B)}{scored_tmpl.format(tag="wld", k1=K1, b=B)}{scored_tmpl.format(tag="rex", k1=K1, b=B)}{pp_scored},
+), qmbp AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, fixed, pfx
+  FROM (VALUES {mvals}) AS q(query_id, fixed, pfx)
+), qterms_mbp AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM (
+      SELECT m.query_id, d.term,
+             row_number() OVER (PARTITION BY m.query_id
+                  ORDER BY d.df DESC, d.term) AS rn
+      FROM qmbp m JOIN dfs d ON d.term LIKE m.pfx || '%') z
+    WHERE rn <= {PREFIX_CAP}
+    UNION ALL
+    SELECT query_id, unnest(string_split(fixed, ' ')) AS term
+    FROM qmbp WHERE fixed <> '') u
+){scored_tmpl.format(tag="mbp", k1=K1, b=B)}{scored_tmpl.format(tag="pre", k1=K1, b=B)}{scored_tmpl.format(tag="fuz", k1=K1, b=B)}{scored_tmpl.format(tag="wld", k1=K1, b=B)}{scored_tmpl.format(tag="rex", k1=K1, b=B)}{pp_scored},
 ranked AS (
   SELECT 'prefix' AS kind, query_id, docid, round(score, 6) AS score_r,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -1459,6 +1484,11 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY round(score, 6) DESC, docid) AS BIGINT)
   FROM scored_rex
+  UNION ALL
+  SELECT 'mbp', query_id, docid, round(score, 6),
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY round(score, 6) DESC, docid) AS BIGINT)
+  FROM scored_mbp
 )
 SELECT kind, query_id, rank, docid, score_r FROM ranked WHERE rank <= {k}
 """

@@ -2162,3 +2162,33 @@ def search_regexp(spark: SparkSession, index_dir, queries: DataFrame,
                 for r in qrows]
     qdf = spark.createDataFrame(expanded, "query_id long, qtext string")
     return search_topk(spark, index_dir, qdf, k=k, n_ranges=n_ranges)
+
+
+def search_match_bool_prefix(spark: SparkSession, index_dir,
+                             queries: DataFrame, k: int = TOP_K,
+                             cap: int = MAX_PREFIX_EXPANSIONS,
+                             n_ranges: int | None = None) -> DataFrame:
+    """ES ``match_bool_prefix`` — the other search-as-you-type family
+    member (Q14's sibling): the analyzed terms become INDEPENDENT bool
+    should clauses, the LAST term a prefix (dictionary-expanded — the
+    Q12 range scan, df-desc cap, scoring_boolean rewrite). Unlike
+    ``match_phrase_prefix`` no adjacency is required: ``quick brown
+    f`` matches docs containing ``quick``, ``brown``, or any
+    ``f``-prefixed term ANYWHERE, every matched clause scoring
+    independently (ES default operator OR). The expanded disjunction
+    runs through the standard engine path — WAND pruning intact. A
+    prefix with no dictionary expansion leaves the fixed terms alone,
+    exactly ES's behavior for an unexpandable trailing token."""
+    from ..textops import tokenize
+    qrows = queries.select("query_id", "qtext").collect()
+    expanded = []
+    for r in qrows:
+        toks = tokenize(r["qtext"])
+        if not toks:
+            expanded.append((int(r["query_id"]), ""))
+            continue
+        exp = expand_prefix_terms(spark, index_dir, toks[-1], cap)
+        expanded.append((int(r["query_id"]),
+                         " ".join(sorted(set(toks[:-1]) | set(exp)))))
+    qdf = spark.createDataFrame(expanded, "query_id long, qtext string")
+    return search_topk(spark, index_dir, qdf, k=k, n_ranges=n_ranges)

@@ -41,7 +41,7 @@ def main() -> None:
                                        "wildcard", "regexp", "boosting",
                                        "constant-score", "rescore",
                                        "span-near", "span-not",
-                                       "span-first"],
+                                       "span-first", "match-bool-prefix"],
                     default="wand",
                     help="wand = default dispatcher (chunk-parallel, fan-out "
                          "auto-sized from index stats); wand-ranges forces the "
@@ -133,7 +133,8 @@ def main() -> None:
     # chosen mode does not implement, instead of silently ignoring them
     if args.mode in ("phrase", "prefix", "phrase-prefix", "multi-match",
                      "wildcard", "regexp", "boosting", "rescore",
-                     "span-near", "span-not", "span-first"):
+                     "span-near", "span-not", "span-first",
+                     "match-bool-prefix"):
         bad = [n for n, v in [("--require-all", args.require_all),
                               ("--min-should-match", args.min_should_match),
                               ("--must-not", args.must_not),
@@ -213,6 +214,10 @@ def main() -> None:
         from aarhus_spark.operators.search import search_phrase_prefix
         res = search_phrase_prefix(spark, index, qdf, k=args.k,
                                    n_ranges=args.ranges)
+    elif args.mode == "match-bool-prefix":
+        from aarhus_spark.operators.search import search_match_bool_prefix
+        res = search_match_bool_prefix(spark, index, qdf, k=args.k,
+                                       n_ranges=args.ranges)
     elif args.mode == "wildcard":
         from pyspark.sql import functions as F
         from aarhus_spark.operators.search import search_wildcard

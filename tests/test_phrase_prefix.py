@@ -91,3 +91,32 @@ def test_expansion_cap_is_load_bearing(spark, ppidx):
     exp1 = oracle.search_phrase_prefix(oidx, "the dat", k=100,
                                        max_expansions=1)
     assert narrow == {d for _r, d, _s in exp1}
+
+
+def test_match_bool_prefix_vs_python_twin(spark, ppidx):
+    """Q44 match_bool_prefix: disjunctive BM25 over fixed terms ∪
+    trailing-prefix expansions — NO adjacency. Twin = oracle.search
+    over the expanded disjunction; the match set must be a superset of
+    the same qtext's phrase-prefix matches, strictly for at least one
+    query (adjacency is load-bearing for the sibling)."""
+    from aarhus_spark.operators.search import (search_match_bool_prefix,
+                                               search_phrase_prefix)
+    from aarhus_spark.textops import tokenize
+    _, out, oidx = ppidx
+    qdf = spark.createDataFrame(PP_QUERIES, "query_id long, qtext string")
+    got = _rows(search_match_bool_prefix(spark, out, qdf, k=10**6))
+    exp = []
+    for qid, qtext in PP_QUERIES:
+        toks = tokenize(qtext)
+        exp_terms = sorted(
+            {t for t in oidx.df if t.startswith(toks[-1])},
+            key=lambda t: (-oidx.df[t], t))[:1024]
+        terms = sorted(set(toks[:-1]) | set(exp_terms))
+        exp.extend((qid, r, d, s) for r, d, s in
+                   oracle.search(oidx, " ".join(terms), k=oidx.n_docs))
+    assert got == sorted(exp)
+    mbp = {(q, d) for q, _, d, _ in got}
+    pp = {(q, d) for q, _, d, _ in
+          _rows(search_phrase_prefix(spark, out, qdf, k=10**6))}
+    assert pp <= mbp
+    assert pp < mbp, "adjacency never bit — sibling contrast vacuous"

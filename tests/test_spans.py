@@ -175,3 +175,57 @@ def test_span_first_vs_brute_force(spark, sidx):
         assert docs < alld, "position bound never bit"
         exp.extend((qid, r, d, s) for r, d, s in _ranked(oidx, [term], docs))
     _check(res, exp)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:          # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    import numpy as np
+
+    from aarhus_spark.operators.spans import _ordered_chain_locals
+
+    ALPHABET = ["a", "b", "c", "d"]
+
+    docs_strategy = st.lists(                      # corpus of token docs
+        st.lists(st.sampled_from(ALPHABET), min_size=1, max_size=12),
+        min_size=1, max_size=6)
+    clause_strategy = st.lists(st.sampled_from(ALPHABET),
+                               min_size=2, max_size=4)
+
+    def _brute_ordered(doc, clauses, width):
+        """Brute force: every strictly-increasing choice of one
+        position per clause, window end-start <= width."""
+        lists = [[i for i, t in enumerate(doc) if t == c]
+                 for c in clauses]
+        if any(not l for l in lists):
+            return False
+        for pick in product(*lists):
+            if all(pick[i] < pick[i + 1] for i in range(len(pick) - 1)) \
+                    and pick[-1] - pick[0] <= width:
+                return True
+        return False
+
+    @settings(max_examples=300, deadline=None)
+    @given(docs=docs_strategy, clauses=clause_strategy,
+           slop=st.integers(min_value=0, max_value=6))
+    def test_ordered_chain_kernel_vs_brute_force(docs, clauses, slop):
+        """The vectorized greedy chain must agree with the brute-force
+        product on random token streams — incl. repeated clause terms,
+        docs missing a clause, and zero-slop adjacency."""
+        width = slop + len(clauses) - 1
+        keys = []
+        for c in clauses:
+            ks = []
+            for local, doc in enumerate(docs):
+                ks.extend((local << 32) | p
+                          for p, t in enumerate(doc) if t == c)
+            keys.append(np.array(sorted(ks), dtype=np.int64))
+        got = set(_ordered_chain_locals(keys, width).tolist())
+        exp = {local for local, doc in enumerate(docs)
+               if _brute_ordered(doc, clauses, width)}
+        assert got == exp
