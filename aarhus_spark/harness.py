@@ -2705,6 +2705,9 @@ SPAN_NOT_QUERIES = [(0, "hash join", "table")]
 SPAN_PRE = SPAN_POST = 3
 SPAN_FIRST_QUERIES = [(0, "data")]
 SPAN_FIRST_END = 4
+IV_QUERIES_O = [(0, "hash|table join")]
+IV_QUERIES_U = [(0, "data scan|sort")]
+IV_GAPS = 2
 
 
 def q_bm25_span(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2733,11 +2736,21 @@ def q_bm25_span(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "query_id long, qtext string")
     fi = _rerank_rounded(search_span_first(spark, idx, qf,
                                            end=SPAN_FIRST_END, k=20))
+    from .operators.spans import search_intervals
+    qio = spark.createDataFrame(IV_QUERIES_O, "query_id long, qtext string")
+    qiu = spark.createDataFrame(IV_QUERIES_U, "query_id long, qtext string")
+    ivo = _rerank_rounded(search_intervals(spark, idx, qio,
+                                           max_gaps=IV_GAPS,
+                                           ordered=True, k=20))
+    ivu = _rerank_rounded(search_intervals(spark, idx, qiu,
+                                           max_gaps=IV_GAPS,
+                                           ordered=False, k=20))
     def _tag(df, kind):
         return df.select(F.lit(kind).alias("kind"), "query_id", "rank",
                          "docid", "score_r")
     return (_tag(no, "near_o").unionByName(_tag(nu, "near_u"))
-            .unionByName(_tag(nt, "not")).unionByName(_tag(fi, "first")))
+            .unionByName(_tag(nt, "not")).unionByName(_tag(fi, "first"))
+            .unionByName(_tag(ivo, "iv_o")).unionByName(_tag(ivu, "iv_u")))
 
 
 def _span_oracle_sql(k: int = 10) -> str:
@@ -2800,6 +2813,21 @@ GROUP BY tf.docid"""
         per.append(scored_for(qid, [term], f"""
     SELECT DISTINCT docid FROM tokpos
     WHERE term = '{term}' AND pos < {SPAN_FIRST_END}""", "first"))
+    from .operators.spans import _parse_intervals
+    for qs, kind, op in ((IV_QUERIES_O, "iv_o", True),
+                         (IV_QUERIES_U, "iv_u", False)):
+        for qid, qtext in qs:
+            a, b = _parse_intervals(qtext)     # harness uses 2 clauses
+            ain = ", ".join(f"'{t}'" for t in a)
+            bin_ = ", ".join(f"'{t}'" for t in b)
+            ivw = IV_GAPS + 1
+            cond = (f"t1.pos > t0.pos AND t1.pos - t0.pos <= {ivw}"
+                    if op else
+                    f"t1.pos <> t0.pos AND abs(t1.pos - t0.pos) <= {ivw}")
+            per.append(scored_for(qid, a + b, f"""
+    SELECT DISTINCT t0.docid FROM tokpos t0 JOIN tokpos t1
+      ON t1.docid = t0.docid AND t1.term IN ({bin_}) AND {cond}
+    WHERE t0.term IN ({ain})""", kind))
     union = "\nUNION ALL\n".join(per)
     return f"""{_CORPUS_CTES_DUCK}{pos_cte}
 , scored AS ({union})

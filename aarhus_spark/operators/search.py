@@ -1352,7 +1352,8 @@ def _decode_candidate_positions(g: pd.DataFrame, required_terms: list[str],
                                 range_lo: int = 0,
                                 range_hi: int | None = None,
                                 dead: np.ndarray | None = None,
-                                optional_terms: tuple = ()) -> tuple:
+                                optional_terms: tuple = (),
+                                required_groups: list | None = None) -> tuple:
     """Shared two-pass positional decode for every positional kernel
     (phrase, sloppy phrase, phrase-prefix anchor side, span queries).
 
@@ -1371,6 +1372,14 @@ def _decode_candidate_positions(g: pd.DataFrame, required_terms: list[str],
     (span_not's exclude clause: needed for the overlap test, never a
     match requirement, never scored).
 
+    ``required_groups`` (round 7d, the intervals query's any_of
+    shape) replaces the flat required intersection with an
+    intersection over GROUP UNIONS: a candidate doc needs at least one
+    term of every group; a term — or even a whole block set — may be
+    absent as long as its group is still covered. ``required_terms``
+    must then be the flattened union (it still drives which terms
+    decode).
+
     Returns ``(inter, per_term)`` — sorted candidate docids and
     ``term -> (docids, tfs, dls, flat_positions)`` (positions grouped
     by posting in docid order). ``inter`` is empty when no doc can
@@ -1381,8 +1390,15 @@ def _decode_candidate_positions(g: pd.DataFrame, required_terms: list[str],
     for row in zip(g["term"], g["chunk"], g["first_docid"], g["blocks"],
                    g["postings"], src_it):
         term_rows.setdefault(row[0], []).append(row)
-    if any(t not in term_rows for t in required_terms):
-        return none  # a required term has no postings here -> no match
+    if required_groups is None:
+        if any(t not in term_rows for t in required_terms):
+            return none  # a required term has no postings -> no match
+        hard_required = set(required_terms)
+    else:
+        if any(all(t not in term_rows for t in grp)
+               for grp in required_groups):
+            return none  # an entire any_of group is absent -> no match
+        hard_required = set()   # individual terms may be absent
     if range_hi is None:
         range_hi = np.iinfo(np.int64).max
 
@@ -1392,7 +1408,7 @@ def _decode_candidate_positions(g: pd.DataFrame, required_terms: list[str],
     for t in all_terms:
         blocks = []
         for (_t, chunk, first, blks, payload, _src) in sorted(
-                term_rows[t], key=lambda r: (int(r[2]), int(r[1]))):
+                term_rows.get(t, []), key=lambda r: (int(r[2]), int(r[1]))):
             buf = np.frombuffer(payload, dtype=np.uint8)
             prev_last = int(first) - 1
             for bi, b in enumerate(blks):
@@ -1409,13 +1425,26 @@ def _decode_candidate_positions(g: pd.DataFrame, required_terms: list[str],
                         blocks.append((d[sel], tf[sel], dl[sel], buf,
                                        pos_off, sel, tf, blk_end))
                 prev_last = last
-        if not blocks and t in required_terms:
+        if not blocks and t in hard_required:
             return none
         per_term_blocks[t] = blocks
 
+    def _docids_of(t: str) -> np.ndarray:
+        blks = per_term_blocks.get(t, [])
+        if not blks:
+            return np.array([], dtype=np.int64)
+        return np.concatenate([b[0] for b in blks])
+
     inter = None
-    for t in required_terms:
-        td = np.concatenate([b[0] for b in per_term_blocks[t]])
+    groups = ([ [t] for t in required_terms ] if required_groups is None
+              else required_groups)
+    for grp in groups:
+        if len(grp) == 1:
+            td = _docids_of(grp[0])
+        else:
+            td = np.array([], dtype=np.int64)
+            for t in grp:
+                td = np.union1d(td, _docids_of(t))
         inter = td if inter is None else np.intersect1d(inter, td,
                                                         assume_unique=True)
         if inter.size == 0:
@@ -1437,9 +1466,9 @@ def _decode_candidate_positions(g: pd.DataFrame, required_terms: list[str],
             ds.append(d[keep]); tfl.append(tf[keep]); dll.append(dl[keep])
             pfl.append(pos[np.repeat(keep, tf)])
         if not ds:
-            if t in required_terms:
+            if t in hard_required:
                 return none
-            continue  # absent optional term: simply no rows
+            continue  # absent optional/any_of term: simply no rows
         per_term[t] = (np.concatenate(ds), np.concatenate(tfl),
                        np.concatenate(dll), np.concatenate(pfl))
     return inter, per_term

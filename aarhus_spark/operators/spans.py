@@ -335,3 +335,105 @@ def search_span_first(spark: SparkSession, index_dir, queries: DataFrame,
 
     return _dispatch(spark, index_dir, queries, plans, all_terms, kernel,
                      k, n_ranges)
+
+
+def _parse_intervals(qtext: str) -> list[list[str]]:
+    """``"a|b c d|e"`` → ordered clauses of any_of alternatives.
+    Alternatives must be DISJOINT across clauses — with disjoint sets
+    a document position can satisfy only one clause, so both the
+    ordered chain and the unordered min-cover are exact without a
+    distinctness pass (validated here, raised otherwise)."""
+    clauses = []
+    for part in qtext.split():
+        alts = sorted({t for a in part.split("|") for t in tokenize(a)})
+        if not alts:
+            raise ValueError(f"empty intervals clause in {qtext!r}")
+        clauses.append(alts)
+    if len(clauses) < 2:
+        raise ValueError(f"intervals needs >= 2 clauses, got {qtext!r}")
+    seen: set[str] = set()
+    for alts in clauses:
+        if seen & set(alts):
+            raise ValueError("intervals alternatives must be disjoint "
+                             f"across clauses: {qtext!r}")
+        seen |= set(alts)
+    return clauses
+
+
+def _intervals_one_query(g: pd.DataFrame, clauses: list[list[str]],
+                         max_gaps: int, ordered: bool, n_docs: int,
+                         avgdl: float, k: int, dfg: dict,
+                         range_lo: int = 0, range_hi: int | None = None,
+                         dead: np.ndarray | None = None) -> pd.DataFrame:
+    from .search import _min_window_flat
+    qid = int(g["query_id"].iloc[0])
+    flat = sorted({t for alts in clauses for t in alts})
+    inter, per_term = _decode_candidate_positions(
+        g, flat, range_lo, range_hi, dead, required_groups=clauses)
+    if inter.size == 0:
+        return _EMPTY
+    width = max_gaps + len(clauses) - 1
+    keys = [np.sort(np.concatenate(
+                [_pos_keys(per_term, t, inter) for t in alts]))
+            for alts in clauses]
+    if ordered:
+        matched_local = _ordered_chain_locals(keys, width)
+    else:
+        # per-doc min cover over clause labels: positions are distinct
+        # across clauses by the disjointness contract, so the classic
+        # k-sorted-lists window is exact
+        pos = np.concatenate(keys)
+        labels = np.concatenate([np.full(a.size, i, dtype=np.int64)
+                                 for i, a in enumerate(keys)])
+        locs = pos >> np.int64(32)
+        hits = []
+        for loc in np.unique(locs):
+            m = locs == loc
+            if np.unique(labels[m]).size < len(clauses):
+                continue
+            w = _min_window_flat((pos[m] & _MASK32), labels[m])
+            if w <= width:
+                hits.append(int(loc))
+        matched_local = np.array(hits, dtype=np.int64)
+    if matched_local.size == 0:
+        return _EMPTY
+    present = [t for t in flat if t in per_term]
+    return _span_score(per_term, present, inter[matched_local], dfg,
+                       n_docs, avgdl, qid, k)
+
+
+def search_intervals(spark: SparkSession, index_dir, queries: DataFrame,
+                     max_gaps: int = 0, ordered: bool = True,
+                     k: int = TOP_K,
+                     n_ranges: int | None = None) -> DataFrame:
+    """ES ``intervals`` query, the ``all_of`` rule over ``any_of``
+    leaves `[PK]`: each row of ``queries`` is (query_id, qtext) with
+    clauses separated by spaces and per-clause alternatives by ``|``
+    (``"hash|table join"`` = all_of[any_of(hash, table), join]). A doc
+    matches iff one position per clause can be chosen from that
+    clause's alternatives with total slack ≤ ``max_gaps`` — in clause
+    order when ``ordered`` (ES ``ordered: true``), any arrangement
+    otherwise — exactly the Q37 budget with any_of leaf sets
+    (``max_gaps = p_n − p_1 − (n−1)`` bound for unit spans).
+    Alternatives must be disjoint across clauses (validated; the
+    exactness contract in :func:`_parse_intervals`).
+
+    Candidate docs intersect GROUP UNIONS (a doc needs some
+    alternative of every clause — `search._decode_candidate_positions
+    required_groups`), so a rare alternative cannot empty the
+    candidate set its group mate covers. Ranked by the Q8 contract:
+    disjunctive BM25 over the distinct present alternatives."""
+    qrows = queries.select("query_id", "qtext").collect()
+    plans = {int(r["query_id"]): _parse_intervals(r["qtext"])
+             for r in qrows}
+    flat_plans = {qid: [t for alts in cl for t in alts]
+                  for qid, cl in plans.items()}
+    all_terms = sorted({t for c in flat_plans.values() for t in c})
+
+    def kernel(g, qid, n_docs, avgdl, kk, dfg, lo, hi, dead):
+        return _intervals_one_query(g, plans[qid], max_gaps, ordered,
+                                    n_docs, avgdl, kk, dfg, lo,
+                                    hi if hi is not None else None, dead)
+
+    return _dispatch(spark, index_dir, queries, flat_plans, all_terms,
+                     kernel, k, n_ranges)

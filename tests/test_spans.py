@@ -229,3 +229,72 @@ if HAVE_HYP:
         exp = {local for local, doc in enumerate(docs)
                if _brute_ordered(doc, clauses, width)}
         assert got == exp
+
+
+QIV = [(0, "the|of data"), (1, "query2|join11 the"), (2, "data the|of")]
+IV_GAPS = 2
+
+
+def _iv_docs(oidx, clauses, max_gaps, ordered):
+    width = max_gaps + len(clauses) - 1
+    out = set()
+    for d in range(oidx.n_docs):
+        lists = [sorted(p for t in alts for p in _positions(oidx, d, t))
+                 for alts in clauses]
+        if any(not l for l in lists):
+            continue
+        for pick in product(*lists):
+            if ordered and any(pick[i] >= pick[i + 1]
+                               for i in range(len(pick) - 1)):
+                continue
+            if max(pick) - min(pick) <= width:
+                out.add(d)
+                break
+    return out
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+def test_intervals_vs_brute_force(spark, sidx, ordered):
+    from aarhus_spark.operators.spans import (_parse_intervals,
+                                              search_intervals)
+    out, oidx = sidx
+    qdf = spark.createDataFrame(QIV, "query_id long, qtext string")
+    res = search_intervals(spark, out, qdf, max_gaps=IV_GAPS,
+                           ordered=ordered).collect()
+    exp = []
+    for qid, qtext in QIV:
+        clauses = _parse_intervals(qtext)
+        docs = _iv_docs(oidx, clauses, IV_GAPS, ordered)
+        present = sorted({t for alts in clauses for t in alts
+                          if t in oidx.df})
+        exp.extend((qid, r, d, s)
+                   for r, d, s in _ranked(oidx, present, docs))
+    _check(res, exp)
+    assert len(res) > 0
+
+
+def test_intervals_any_of_is_load_bearing(spark, sidx):
+    """A doc matched ONLY via the second alternative must appear —
+    the any_of union, not just the first term, drives candidacy."""
+    from aarhus_spark.operators.spans import (_parse_intervals,
+                                              search_intervals)
+    out, oidx = sidx
+    qdf = spark.createDataFrame(QIV, "query_id long, qtext string")
+    full = {(r["query_id"], r["docid"]) for r in search_intervals(
+        spark, out, qdf, max_gaps=IV_GAPS, k=10**6).collect()}
+    hit_alt = 0
+    for qid, qtext in QIV:
+        clauses = _parse_intervals(qtext)
+        first_only = [[alts[0]] for alts in clauses]
+        d_full = _iv_docs(oidx, clauses, IV_GAPS, True)
+        d_first = _iv_docs(oidx, first_only, IV_GAPS, True)
+        extra = d_full - d_first
+        hit_alt += len(extra)
+        assert {(qid, d) for d in extra} <= full
+    assert hit_alt, "no doc ever needed the 2nd alternative"
+
+
+def test_intervals_rejects_overlapping_alternatives(spark, sidx):
+    from aarhus_spark.operators.spans import _parse_intervals
+    with pytest.raises(ValueError, match="disjoint"):
+        _parse_intervals("the|data data")
