@@ -47,10 +47,25 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
 
 
 def read_queries(spark: SparkSession, source: str) -> DataFrame:
-    """S2 query-set source."""
+    """S2 query-set source: (query_id, qtext) required; the documented
+    per-query OPTIONAL columns — ``neg_qtext`` (bool.must_not),
+    ``must_qtext`` (bool.must), ``exclude`` (span_not) — are kept and
+    typed when present (a fixed 2-column read used to drop them
+    silently, making the CLI's per-query bool columns unreachable)."""
+    from pyspark.sql import functions as F
     if source.startswith("iceberg:"):
-        return spark.read.table(source[len("iceberg:"):])
-    return spark.read.schema(QUERIES_SCHEMA).parquet(source)
+        df = spark.read.table(source[len("iceberg:"):])
+    else:
+        df = spark.read.parquet(source)
+    missing = {"query_id", "qtext"} - set(df.columns)
+    if missing:
+        raise ValueError(f"queries source lacks columns {sorted(missing)}")
+    cols = [F.col("query_id").cast("long").alias("query_id"),
+            F.col("qtext").cast("string").alias("qtext")]
+    for opt in ("neg_qtext", "must_qtext", "exclude"):
+        if opt in df.columns:
+            cols.append(F.col(opt).cast("string").alias(opt))
+    return df.select(*cols)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -170,3 +170,26 @@ def test_range_agg_is_broadcast_theta_join(spark, tmpdir_session, pages_parquet)
                                   [("*-30", None, 30), ("30-*", 30, None)]))
     phys = plan[plan.index("== Physical Plan =="):]
     assert "BroadcastNestedLoopJoin" in phys
+
+
+def test_read_queries_keeps_optional_bool_columns(spark, tmpdir_session):
+    """S2 source: the documented per-query optional columns
+    (neg_qtext / must_qtext / exclude) must survive the read — a fixed
+    2-column schema used to drop them silently, making the CLI's
+    per-query bool parquet path unreachable."""
+    import os
+    import pandas as pd
+    import pytest
+    from aarhus_spark.sources.io import read_queries
+    p = os.path.join(tmpdir_session, "q_opt.parquet")
+    pd.DataFrame({"query_id": [0], "qtext": ["a b"],
+                  "neg_qtext": ["c"], "exclude": ["d"]}).to_parquet(p)
+    df = read_queries(spark, p)
+    assert set(df.columns) == {"query_id", "qtext", "neg_qtext", "exclude"}
+    r = df.collect()[0]
+    assert (r["query_id"], r["qtext"], r["neg_qtext"], r["exclude"]) \
+        == (0, "a b", "c", "d")
+    p2 = os.path.join(tmpdir_session, "q_bad.parquet")
+    pd.DataFrame({"qtext": ["a"]}).to_parquet(p2)
+    with pytest.raises(ValueError, match="query_id"):
+        read_queries(spark, p2)
