@@ -50,6 +50,16 @@ import os as _os
 
 TOMBSTONE_BUDGET: int = int(_os.environ.get("AARHUS_TOMBSTONE_BUDGET", 2_000_000))
 
+# Compaction: broadcast the (dir_id, old_docid) → docid map into the
+# token-remap join while the union corpus is at most this many docs —
+# the token stream (O(postings), the heavy side) is then never
+# shuffled by the join; only the build's own bucket exchange moves it
+# (guide §3.1: broadcast replaces a shuffle of the big side). 4M rows
+# ≈ ~100 MB built relation — the "few hundred MB is fine" band; past
+# it the sort-merge join path takes over. Env-overridable per cluster.
+COMPACT_BCAST_DOCIDS_MAX: int = int(
+    _os.environ.get("AARHUS_COMPACT_BCAST_DOCIDS_MAX", 4_000_000))
+
 # On-disk index layout version, written into build_config.json and
 # stats.json at build time and VERIFIED at read time: readers refuse a
 # mismatched layout instead of silently mis-serving it (a v0.1 dir read

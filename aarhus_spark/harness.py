@@ -396,10 +396,11 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.build import IndexPaths
     idx = _ensure_index(spark, sf_dir)
     p = IndexPaths(idx)
-    stats = (spark.read.parquet(p.doclens)
+    from .operators.build import read_dictionary, read_doclens
+    stats = (read_doclens(spark, idx)
              .agg(F.count("*").alias("n_docs"),
                   F.round(F.avg("dl"), 6).alias("avgdl_r")))
-    n_terms = spark.read.parquet(p.dictionary).agg(F.count("*").alias("n_terms"))
+    n_terms = read_dictionary(spark, idx).agg(F.count("*").alias("n_terms"))
     return stats.crossJoin(n_terms)
 
 
@@ -426,7 +427,8 @@ def q_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("rows").alias("tokens_in"),
                 F.sum("postings").alias("postings_manifests"),
                 F.sum("fragments").alias("frag_rows")))
-    dic = (spark.read.parquet(p.dictionary)
+    from .operators.build import read_dictionary
+    dic = (read_dictionary(spark, idx)
            .agg(F.sum("df").alias("postings_dictionary")))
     met = (spark.read.json(p.metrics)
            .agg(F.countDistinct("stage").alias("n_stages")))
@@ -496,7 +498,8 @@ def q_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = search_topk(spark, dirs, qdf, k=20, n_ranges=4)
     url_of = None
     for d in dirs:
-        dl = spark.read.parquet(IndexPaths(d).doclens).select("docid", "url")
+        from .operators.build import read_doclens
+        dl = read_doclens(spark, d).select("docid", "url")
         url_of = dl if url_of is None else url_of.unionByName(dl)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("url"))
     return (
@@ -740,7 +743,8 @@ def q_incremental_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = search_topk(spark, dirs, qdf, k=20, n_ranges=4)
     url_of = None
     for d in dirs:
-        dl = spark.read.parquet(IndexPaths(d).doclens).select("docid", "url")
+        from .operators.build import read_doclens
+        dl = read_doclens(spark, d).select("docid", "url")
         url_of = dl if url_of is None else url_of.unionByName(dl)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("url"))
     return (

@@ -903,9 +903,10 @@ def q_postings_codec_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ensure_index(spark, sf_dir)
     p = IndexPaths(idx)
+    from .operators.build import read_fragments, read_segments
     cols = ["term", "n", "first_docid", "blocks", "postings"]
-    seg = (spark.read.parquet(p.segments).select(*cols)
-           .unionByName(spark.read.parquet(p.fragments).select(*cols)))
+    seg = (read_segments(spark, idx).select(*cols)
+           .unionByName(read_fragments(spark, idx).select(*cols)))
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

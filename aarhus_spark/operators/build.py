@@ -134,6 +134,48 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("postings", T.BinaryType()),
 ])
 
+# ---------------------------------------------------------------------------
+# Schema'd readers for the engine's own sinks. Every layout here is
+# pinned by the writers in this module, so schema inference (a driver-
+# side footer read + listing per spark.read.parquet call, ~50-100 ms
+# each, one per query op per artifact) buys nothing — the guide's
+# "driver should do almost no work" rule (§5/§7.3) applied to planning.
+# ---------------------------------------------------------------------------
+
+FRAGMENTS_READ_SCHEMA = T.StructType(
+    list(FRAG_PA_SCHEMA_SPARK) + [T.StructField("bucket", T.IntegerType())])
+
+DICTIONARY_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("df", T.LongType()),
+    T.StructField("cf", T.LongType()),
+])
+
+DOCLENS_SCHEMA = T.StructType([
+    T.StructField("docid", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("dl", T.LongType()),
+    T.StructField("warc_ts", T.TimestampType()),
+])
+
+
+def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.schema(SEGMENT_SCHEMA).parquet(IndexPaths(index_dir).segments)
+
+
+def read_fragments(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.schema(FRAGMENTS_READ_SCHEMA).parquet(
+        IndexPaths(index_dir).fragments)
+
+
+def read_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.schema(DICTIONARY_SCHEMA).parquet(
+        IndexPaths(index_dir).dictionary)
+
+
+def read_doclens(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.schema(DOCLENS_SCHEMA).parquet(IndexPaths(index_dir).doclens)
+
 
 @dataclass
 class IndexPaths:
@@ -946,11 +988,19 @@ def build_index(
         target = 20_000
         frac = min(1.0, target / max(n_docs, 1))
         sample = docs if frac >= 1.0 else docs.sample(fraction=frac, seed=42)
-        df_s = tokenize_docs(sample).groupBy("term").agg(F.count("*").alias("df"))
-        thr_row = df_s.agg(F.percentile_approx("df", head_df_quantile).alias("t")).collect()[0]
-        head_thr = max(int(thr_row["t"] or 0), int(2 * BLOCK_SIZE * frac) + 1)
-        head_terms = [r["term"] for r in
-                      df_s.filter(F.col("df") > head_thr).select("term").collect()]
+        # persisted: the quantile pass and the head filter both consume
+        # this frame — without the persist the sample tokenize+agg runs
+        # TWICE (measured ~half the head-detect stage wall)
+        df_s = (tokenize_docs(sample).groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            thr_row = df_s.agg(F.percentile_approx("df", head_df_quantile).alias("t")).collect()[0]
+            head_thr = max(int(thr_row["t"] or 0), int(2 * BLOCK_SIZE * frac) + 1)
+            head_terms = [r["term"] for r in
+                          df_s.filter(F.col("df") > head_thr).select("term").collect()]
+        finally:
+            df_s.unpersist()
         with open(heads_path, "w") as f:
             json.dump({"terms": head_terms, "thr": head_thr, "frac": frac}, f)
     stage("head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
@@ -1064,31 +1114,56 @@ def encode_merge_finalize(
     if not os.path.isdir(paths.fragments) or not os.listdir(paths.fragments):
         # empty corpus (e.g. a delta build with zero new pages):
         # materialize empty-but-valid artifacts so search over the dir works
-        frags = spark.createDataFrame([], schema=T.StructType(
-            list(FRAG_PA_SCHEMA_SPARK) + [T.StructField("bucket", T.IntegerType())]))
+        frags = spark.createDataFrame([], schema=FRAGMENTS_READ_SCHEMA)
     else:
-        frags = spark.read.parquet(paths.fragments)
+        frags = spark.read.schema(FRAGMENTS_READ_SCHEMA).parquet(paths.fragments)
     head = (
         frags.filter(F.col("is_head") | (F.col("n") > max_postings_per_row))
         .groupBy("term").applyInPandas(_make_merger(avgdl, max_postings_per_row), SEGMENT_SCHEMA)
     )
-    head.write.mode("overwrite").parquet(paths.segments)
-    stage("merge+segments", t0)
 
     # --- T3 dictionary: derived from fragment METADATA (|fragment| rows,
-    #     pure JVM) — no second aggregation over the raw token stream ---
-    t0 = time.time()
+    #     pure JVM) — no second aggregation over the raw token stream.
     # term-SORTED: prefix/wildcard queries range-scan the dictionary
     # (term >= p AND term < p⊕1, search.expand_prefix_terms) and the
     # sort gives every row group tight term min/max stats. One extra
     # exchange+sort on |vocabulary| rows — negligible next to the
     # posting stages at any corpus size.
-    (frags.groupBy("term")
-        .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
-        .sort("term")
-        .write.mode("overwrite").parquet(paths.dictionary))
-    n_terms = spark.read.parquet(paths.dictionary).count()
-    stage("dictionary", t0, n_terms=n_terms)
+    # n_terms rides the write itself (CollectMetrics via Observation) —
+    # no read-back count job; and the two independent finalize jobs
+    # (head merge overlay, dictionary) run CONCURRENTLY so the second
+    # back-fills executors freed by the first's stragglers (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+    obs = Observation()
+    dic = (frags.groupBy("term")
+           .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
+           .sort("term")
+           .observe(obs, F.count(F.lit(1)).alias("n_terms")))
+
+    def _write_segments() -> float:
+        spark.sparkContext.setJobDescription("finalize: head merge overlay")
+        t = time.time()
+        head.write.mode("overwrite").parquet(paths.segments)
+        return time.time() - t
+
+    def _write_dictionary() -> tuple[int, float]:
+        spark.sparkContext.setJobDescription("finalize: dictionary")
+        t = time.time()
+        dic.write.mode("overwrite").parquet(paths.dictionary)
+        return int(obs.get["n_terms"]), time.time() - t
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_seg = pool.submit(_write_segments)
+        f_dic = pool.submit(_write_dictionary)
+        seg_wall = f_seg.result()
+        n_terms, dic_wall = f_dic.result()
+    spark.sparkContext.setJobDescription(None)
+    # stage names/count unchanged (manifest_audit counts distinct
+    # stages); the two walls now OVERLAP on the cluster
+    stage("merge+segments", t0 + max(0.0, (time.time() - t0) - seg_wall))
+    stage("dictionary", time.time() - dic_wall, n_terms=n_terms)
     return n_terms
 
 

@@ -52,7 +52,8 @@ from ..codec import decode_block_keep_pos
 from ..config import (BLOCK_SIZE, FORMAT_VERSION, HEAD_DF_QUANTILE,
                       MAX_POSTINGS_PER_ROW, SALTS)
 from .build import (FragmentCommitter, IndexPaths, _salt_of,
-                    encode_merge_finalize)
+                    encode_merge_finalize, read_dictionary, read_doclens,
+                    read_fragments)
 
 # per-posting (format v4): posb = the posting's pre-encoded positions
 TOKENS_SCHEMA = "dir_id int, docid long, term string, tf long, dl long, posb binary"
@@ -61,7 +62,7 @@ TOKENS_SCHEMA = "dir_id int, docid long, term string, tf long, dl long, posb bin
 def _union_doclens(spark: SparkSession, dirs: list[str]) -> DataFrame:
     out = None
     for i, d in enumerate(dirs):
-        dl = (spark.read.parquet(IndexPaths(d).doclens)
+        dl = (read_doclens(spark, d)
               .select(F.lit(i).alias("dir_id"), F.col("docid").alias("old_docid"),
                       "url", "dl", "warc_ts"))
         out = dl if out is None else out.unionByName(dl)
@@ -115,6 +116,11 @@ def decode_fragments_to_tokens(spark: SparkSession, dirs: list[str]) -> DataFram
     without ever decoding a position value."""
     def make_dec(dir_id: int):
         def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # accumulate decoded rows and yield LARGE batches: a yield
+            # per fragment row costs one Arrow batch each (thousands of
+            # tiny batches per task at real vocab sizes)
+            acc: list[pd.DataFrame] = []
+            acc_rows = 0
             for pdf in batches:
                 for term, payload, blks in zip(pdf["term"], pdf["postings"],
                                                pdf["blocks"]):
@@ -130,19 +136,25 @@ def decode_fragments_to_tokens(spark: SparkSession, dirs: list[str]) -> DataFram
                     posb: list[bytes] = []
                     for p in parts:
                         posb.extend(p[3])
-                    yield pd.DataFrame({
+                    acc.append(pd.DataFrame({
                         "dir_id": np.int32(dir_id),
                         "docid": np.concatenate([p[0] for p in parts]),
                         "term": term,
                         "tf": np.concatenate([p[1] for p in parts]),
                         "dl": np.concatenate([p[2] for p in parts]),
                         "posb": posb,
-                    })
+                    }))
+                    acc_rows += len(posb)
+                    if acc_rows >= 65536:
+                        yield pd.concat(acc, ignore_index=True)
+                        acc, acc_rows = [], 0
+            if acc:
+                yield pd.concat(acc, ignore_index=True)
         return dec
 
     out = None
     for i, d in enumerate(dirs):
-        toks = (spark.read.parquet(IndexPaths(d).fragments)
+        toks = (read_fragments(spark, d)
                 .select("term", "blocks", "postings")
                 .mapInPandas(make_dec(i), schema=TOKENS_SCHEMA))
         out = toks if out is None else out.unionByName(toks)
@@ -155,13 +167,18 @@ def _head_terms_from_dictionaries(spark: SparkSession, dirs: list[str],
     across dirs) — no sampling needed at compaction time."""
     dic = None
     for d in dirs:
-        piece = spark.read.parquet(IndexPaths(d).dictionary).select("term", "df")
+        piece = read_dictionary(spark, d).select("term", "df")
         dic = piece if dic is None else dic.unionByName(piece)
-    dic = dic.groupBy("term").agg(F.sum("df").alias("df"))
-    thr_row = dic.agg(F.percentile_approx("df", head_df_quantile).alias("t")).collect()[0]
-    head_thr = max(int(thr_row["t"] or 0), 2 * BLOCK_SIZE + 1)
-    head_terms = [r["term"] for r in
-                  dic.filter(F.col("df") > head_thr).select("term").collect()]
+    from pyspark import StorageLevel
+    dic = (dic.groupBy("term").agg(F.sum("df").alias("df"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        thr_row = dic.agg(F.percentile_approx("df", head_df_quantile).alias("t")).collect()[0]
+        head_thr = max(int(thr_row["t"] or 0), 2 * BLOCK_SIZE + 1)
+        head_terms = [r["term"] for r in
+                      dic.filter(F.col("df") > head_thr).select("term").collect()]
+    finally:
+        dic.unpersist()
     return head_terms, head_thr
 
 
@@ -289,10 +306,17 @@ def compact_indexes(
     #     compaction pays vs a build: the join against the id map).
     #     Tombstoned docs purge themselves here: they are absent from
     #     the id map, so the INNER join drops their token rows. ---
+    from ..config import COMPACT_BCAST_DOCIDS_MAX
+    join_map = id_map.select("dir_id", "old_docid", "docid")
+    if n_docs <= COMPACT_BCAST_DOCIDS_MAX:
+        # broadcast the docid map: the O(postings) token stream is the
+        # big side and must not be shuffled by this join — with the
+        # broadcast, the only wide exchange it crosses is the build's
+        # own bucket shuffle (encode_merge_finalize)
+        join_map = F.broadcast(join_map)
     tokens = (decode_fragments_to_tokens(spark, dirs)
               .withColumnRenamed("docid", "old_docid")
-              .join(id_map.select("dir_id", "old_docid", "docid"),
-                    ["dir_id", "old_docid"])
+              .join(join_map, ["dir_id", "old_docid"])
               .select("docid", "term", "tf", "dl", "posb"))
     salted = salt_bucket_tokens(tokens, head_terms, n_docs, salts, n_buckets)
 

@@ -112,6 +112,10 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
     from pyspark import StorageLevel
 
     n_bands = n_hashes // band_size
+    # union of per-band selects, NOT an explode of a per-row struct
+    # array: the branches share one ReusedExchange over the signature
+    # aggregation, and the measured wall is ~1.4 s faster at sf0.1 than
+    # the explode variant (r8 A/B) — keep the union.
     bands = None
     for b in range(n_bands):
         cols = "||','||".join(

@@ -81,7 +81,7 @@ from pyspark.sql.window import Window
 
 from ..config import TOP_K
 from ..textops import tokenize
-from .build import IndexPaths
+from .build import IndexPaths, read_dictionary, read_doclens
 from .search import (RESULT_SCHEMA, _as_dirs, load_stats_multi,
                      search_phrase, search_taat, search_topk)
 
@@ -109,7 +109,7 @@ def _doc_meta(spark: SparkSession, index_dir) -> DataFrame:
     dirs = _as_dirs(index_dir)
     meta = None
     for i, d in enumerate(dirs):
-        piece = (spark.read.parquet(IndexPaths(d).doclens)
+        piece = (read_doclens(spark, d)
                  .withColumn("__gen", F.lit(i)))
         meta = piece if meta is None else meta.unionByName(piece)
     if len(dirs) == 1:
@@ -224,7 +224,7 @@ def search_significant_terms(spark: SparkSession, index_dir,
     dirs = _as_dirs(index_dir)
     dic = None
     for d in dirs:
-        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+        piece = (read_dictionary(spark, d)
                  .select("term", "df"))
         dic = piece if dic is None else dic.unionByName(piece)
     dic = dic.groupBy("term").agg(F.sum("df").alias("bg_df"))
@@ -269,7 +269,7 @@ def suggest_terms(spark: SparkSession, index_dir, words: DataFrame,
     dirs = _as_dirs(index_dir)
     dic = None
     for d in dirs:
-        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+        piece = (read_dictionary(spark, d)
                  .select("term", "df"))
         dic = piece if dic is None else dic.unionByName(piece)
     dic = dic.groupBy("term").agg(F.sum("df").alias("df"))
@@ -386,10 +386,12 @@ def search_highlight(spark: SparkSession, index_dir, queries: DataFrame,
             F.desc(F.round("score", round_to)), F.asc("docid"))
         top = (top.withColumn("rank", F.row_number().over(w0)))
     meta = _doc_meta(spark, index_dir).select("docid", "url")
-    from .search import analyze_queries
-    qarr = (analyze_queries(queries)
-            .groupBy("query_id")
-            .agg(F.array_sort(F.collect_set("term")).alias("qterms")))
+    from .search import _QueryAnalysis
+    qa = _QueryAnalysis(spark, queries)
+    qarr = spark.createDataFrame(
+        [(int(q), sorted(set(g))) for q, g in
+         qa.qterms_pdf.groupby("query_id")["term"]],
+        "query_id long, qterms array<string>")
     hit = (top.join(meta, "docid")
            .join(docs.select("url", "text"), "url")
            .join(F.broadcast(qarr), "query_id"))
@@ -444,7 +446,7 @@ def mlt_select_terms(spark: SparkSession, index_dir, seed_text: str,
     n_docs, _, _ = load_stats_multi(dirs)
     dfm: Counter = Counter()
     for d in dirs:
-        rows = (spark.read.parquet(IndexPaths(d).dictionary)
+        rows = (read_dictionary(spark, d)
                 .select("term", "df")
                 .filter(F.col("term").isin(cand)).collect())
         for r in rows:
@@ -964,7 +966,7 @@ def search_explain(spark: SparkSession, index_dir, queries: DataFrame,
     the dictionary lookup is a pushed point scan. Returns (query_id,
     rank, docid, term, tf, df, idf_r, tfn_r, contrib_r, score_r)."""
     from ..config import B, K1
-    from .search import _collect_terms, analyze_queries
+    from .search import _QueryAnalysis
     top = search_topk(spark, index_dir, queries, k=k, n_ranges=n_ranges)
     if rank_round_to is not None:
         w0 = Window.partitionBy("query_id").orderBy(
@@ -972,11 +974,12 @@ def search_explain(spark: SparkSession, index_dir, queries: DataFrame,
         top = top.withColumn("rank", F.row_number().over(w0))
     dirs = _as_dirs(index_dir)
     n_docs, avgdl, _ = load_stats_multi(dirs)
-    qterms = analyze_queries(queries)
-    terms = _collect_terms(qterms)
+    qa = _QueryAnalysis(spark, queries)
+    qterms = qa.qterms_df()
+    terms = qa.terms
     dfs = None
     for d in dirs:
-        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+        piece = (read_dictionary(spark, d)
                  .select("term", "df").filter(F.col("term").isin(terms)))
         dfs = piece if dfs is None else dfs.unionByName(piece)
     dfs = dfs.groupBy("term").agg(F.sum("df").cast("long").alias("df"))

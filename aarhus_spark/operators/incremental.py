@@ -54,7 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .build import IndexPaths, build_index
+from .build import IndexPaths, build_index, read_doclens
 from .search import load_stats
 
 
@@ -79,7 +79,7 @@ def new_pages_only(spark: SparkSession, pages: DataFrame, base_dirs: list[str],
         raise ValueError(f"on_recrawl must be 'error' or 'ignore', got {on_recrawl!r}")
     out = pages
     for d in base_dirs:
-        done = spark.read.parquet(IndexPaths(d).doclens)
+        done = read_doclens(spark, d)
         if on_recrawl == "error" and "warc_ts" in done.columns:
             n_conflicts = (
                 pages.join(done.select("url", F.col("warc_ts").alias("base_ts")), "url")
@@ -147,7 +147,7 @@ def split_delta_pages(spark: SparkSession, pages: DataFrame,
     recrawled = None
     tombstones = None
     for d in base_dirs:
-        done = spark.read.parquet(IndexPaths(d).doclens)
+        done = read_doclens(spark, d)
         if dead_df is not None:
             done = done.join(F.broadcast(dead_df), "docid", "left_anti")
         base = done.select("url", "docid", "dl",

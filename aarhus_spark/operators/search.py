@@ -52,8 +52,9 @@ from ..codec import decode_block, decode_block_ext, decode_positions_at
 from ..config import FORMAT_VERSION, TOP_K
 from ..hashing import xxhash64 as spark_xxhash64
 from ..scoring import idf as _idf
-from ..textops import tokenize_series
-from .build import IndexPaths
+from ..textops import tokenize, tokenize_series
+from .build import (IndexPaths, read_dictionary, read_fragments,
+                    read_segments)
 
 RESULT_SCHEMA = "query_id long, rank int, docid long, score double"
 
@@ -331,7 +332,7 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
         st = load_stats(d)
         maxpost = int(st.get("build_config", {}).get(
             "max_postings_per_row", 1 << 62))
-        seg = (spark.read.parquet(IndexPaths(d).segments)
+        seg = (read_segments(spark, d)
                .filter(F.col("term").isin(terms)))
         frag_dir = IndexPaths(d).fragments
         # tail existence cached in stats.json at build time — no per-query
@@ -343,7 +344,7 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
             # (driver-side hashing.xxhash64 ≡ Spark's xxhash64, pinned
             # by test) so tail lookups still skip row groups; the exact
             # term filter stays for hash-collision correctness
-            tail = spark.read.parquet(frag_dir)
+            tail = read_fragments(spark, d)
             tfilter = (F.col("term").isin(terms)
                        & ~F.col("is_head") & (F.col("n") <= maxpost))
             if "thash" in tail.columns:
@@ -378,7 +379,7 @@ def _global_df_map(spark: SparkSession, index_dir, terms: list[str],
     query terms' postings, like the scorer scan itself."""
     out: dict[str, int] = {}
     for d in _as_dirs(index_dir):
-        rows = (spark.read.parquet(IndexPaths(d).dictionary)
+        rows = (read_dictionary(spark, d)
                 .filter(F.col("term").isin(terms))
                 .select("term", "df").collect())
         for r in rows:
@@ -419,6 +420,139 @@ def _collect_terms(qterms: DataFrame) -> list[str]:
     return [r["term"] for r in qterms.select("term").distinct().collect()]
 
 
+QTERMS_SCHEMA = "query_id long, term string"
+
+
+class _QueryAnalysis:
+    """Driver-side analysis of the (human-scale) query table.
+
+    The previous per-clause pipeline (``analyze_queries`` mapInPandas →
+    ``distinct`` exchange → ``collect``, once per should/must/must_not
+    clause) launched up to three Spark jobs per search call just to
+    learn the query terms — ~0.4 s each at local[32] — and the later
+    broadcast join had to build its hash relation from a Python-stage
+    plan. Query lists are driver-known, human-scale inputs (the same
+    cardinality class every scorer already closure-captures), so ONE
+    narrow Arrow ``toPandas`` + the identical frozen tokenizer
+    (``textops.tokenize_series``) replaces all of it; the qterms frames
+    handed to joins become LocalTableScans, whose broadcast build has
+    no Python stage. Bit-identical analysis by construction: the same
+    tokenizer runs over the same strings (pinned by tests against
+    ``analyze_queries``).
+    """
+
+    def __init__(self, spark: SparkSession, queries: DataFrame):
+        self._spark = spark
+        cols = [c for c in ("query_id", "qtext", "neg_qtext", "must_qtext")
+                if c in queries.columns]
+        qp = queries.select(*cols).toPandas()
+        self.qterms_pdf = self._explode(qp, "qtext")
+        self.neg_pdf = (self._explode(qp, "neg_qtext")
+                        if "neg_qtext" in qp.columns else None)
+        self.must_pdf = (self._explode(qp, "must_qtext")
+                         if "must_qtext" in qp.columns else None)
+        # "column present but all null" degrades to "no clause", exactly
+        # like the DataFrame path's empty-collect checks
+        if self.neg_pdf is not None and not len(self.neg_pdf):
+            self.neg_pdf = None
+        if self.must_pdf is not None and not len(self.must_pdf):
+            self.must_pdf = None
+        self.terms = sorted(self.qterms_pdf["term"].unique())
+        self.neg_terms = (sorted(self.neg_pdf["term"].unique())
+                          if self.neg_pdf is not None else [])
+        self.must_terms = (sorted(self.must_pdf["term"].unique())
+                           if self.must_pdf is not None else [])
+
+    @staticmethod
+    def _explode(qp: pd.DataFrame, col: str) -> pd.DataFrame:
+        """Distinct (query_id, term) — the exact analyze_queries
+        transform (tokenize → explode → dropna → drop_duplicates)."""
+        pdf = qp.dropna(subset=[col])
+        if not len(pdf):
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="object")})
+        ex = pd.DataFrame({"query_id": pdf["query_id"].astype("int64"),
+                           "term": tokenize_series(pdf[col])})
+        return (ex.explode("term").dropna(subset=["term"])
+                .drop_duplicates().reset_index(drop=True))
+
+    @property
+    def all_terms(self) -> list[str]:
+        return sorted(set(self.terms) | set(self.neg_terms)
+                      | set(self.must_terms))
+
+    def qterms_df(self) -> DataFrame:
+        return self._spark.createDataFrame(self.qterms_pdf, QTERMS_SCHEMA)
+
+    def kinds_df(self) -> DataFrame:
+        """The _qterms_with_kinds frame (kind 0=should/1=must/2=must_not,
+        max-deduped per (query, term)) as a LocalTableScan; plain qterms
+        when no bool clause exists — same contract as the DataFrame
+        version."""
+        if self.neg_pdf is None and self.must_pdf is None:
+            return self.qterms_df()
+        frames = [self.qterms_pdf.assign(kind=0)]
+        if self.must_pdf is not None:
+            frames.append(self.must_pdf.assign(kind=1))
+        if self.neg_pdf is not None:
+            frames.append(self.neg_pdf.assign(kind=2))
+        allp = pd.concat(frames, ignore_index=True)
+        kinds = (allp.groupby(["query_id", "term"], as_index=False)["kind"]
+                 .max())
+        return self._spark.createDataFrame(
+            kinds, QTERMS_SCHEMA + ", kind int")
+
+    def qn_df(self) -> DataFrame:
+        """|distinct analyzed terms| per query (the require_all target)."""
+        qn = (self.qterms_pdf.groupby("query_id", as_index=False)
+              .size().rename(columns={"size": "qn"}))
+        return self._spark.createDataFrame(qn, "query_id long, qn long")
+
+    def qn_map(self) -> dict[int, int]:
+        return {int(q): int(n) for q, n in
+                self.qterms_pdf.groupby("query_id").size().items()}
+
+    def must_qn_df(self) -> DataFrame:
+        qn = (self.must_pdf.groupby("query_id", as_index=False)
+              .size().rename(columns={"size": "qn_must"}))
+        return self._spark.createDataFrame(qn, "query_id long, qn_must long")
+
+    def must_term_map(self) -> dict[int, set] | None:
+        if self.must_pdf is None:
+            return None
+        out: dict[int, set] = {}
+        for q, t in zip(self.must_pdf["query_id"], self.must_pdf["term"]):
+            out.setdefault(int(q), set()).add(t)
+        return out
+
+
+def _dfg_or_none(spark: SparkSession, index_dir, terms: list[str],
+                 seg: DataFrame, dead: np.ndarray) -> dict[str, int] | None:
+    """Global-df map ONLY when the segment rows' own ``df`` column can't
+    serve: multi-dir chains (per-dir rows carry per-dir df) or live
+    tombstones (df must count live postings). On a single plain dir the
+    stored df IS the global df — head chunks carry the merger's
+    df_total, tail rows df = n — so the dictionary-lookup job (and with
+    tombstones, the correction pass) is skipped entirely; scorers fall
+    back to the per-row df."""
+    dirs = _as_dirs(index_dir)
+    if len(dirs) == 1 and not dead.size:
+        return None
+    return _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+
+
+def _dfg_from_rows(g: pd.DataFrame, dfg: dict | None) -> dict:
+    """Per-group term→df map from the candidate rows themselves (the
+    dfg=None fast path; every chunk row stores the term's global df)."""
+    if dfg is not None:
+        return dfg
+    out: dict = {}
+    for t, df_ in zip(g["term"], g["df"]):
+        if t not in out:
+            out[t] = float(df_)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Q4: distributed TAAT scoring with exact fold order
 # ---------------------------------------------------------------------------
@@ -432,8 +566,16 @@ def search_taat(
     min_should_match: int | None = None,
     score_mode: str = "bm25",
     return_matches: bool = False,
+    _candidate_docids: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed top-k. Returns (query_id, rank, docid, score).
+
+    ``_candidate_docids`` (internal — the multi_match pruned combiner):
+    a SORTED unique docid array; the decode pass drops every other
+    docid BEFORE the shuffle, so the fold/aggregation runs over
+    candidate rows only. Scores for surviving (query, doc) pairs are
+    bit-identical to the unrestricted run (the per-pair fold sees
+    exactly the same entries). bm25 score_mode only.
 
     ``return_matches=True`` (round 7) skips the final top-k window and
     returns the full scored match set (query_id, docid, score) — the
@@ -487,31 +629,30 @@ def search_taat(
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     _check_score_mode(score_mode)
     prox = score_mode == "proximity"
-    qterms = analyze_queries(queries)
-    nq = analyze_neg_queries(queries)
-    mq = analyze_must_queries(queries)
-    terms = _collect_terms(qterms)
-    neg_terms = _collect_terms(nq) if nq is not None else []
-    must_terms = _collect_terms(mq) if mq is not None else []
-    if mq is not None and not must_terms:
-        mq = None    # must_qtext column present but all null
-    _check_bool_args(require_all, min_should_match, has_must=mq is not None)
+    if _candidate_docids is not None and prox:
+        raise ValueError("_candidate_docids supports score_mode='bm25' only")
+    cand_arr = _candidate_docids
+    qa = _QueryAnalysis(spark, queries)
+    terms, neg_terms, must_terms = qa.terms, qa.neg_terms, qa.must_terms
+    has_must = qa.must_pdf is not None
+    _check_bool_args(require_all, min_should_match, has_must=has_must)
     if not terms and not must_terms:
         return spark.createDataFrame(
             [], schema=("query_id long, docid long, score double"
                         if return_matches else RESULT_SCHEMA))
-    if not neg_terms:
-        nq = None
-    all_terms = sorted(set(terms) | set(neg_terms) | set(must_terms))
+    has_neg = bool(neg_terms)
+    all_terms = qa.all_terms
     seg = candidate_segments(spark, index_dir, all_terms)
-    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
+    dfg = _dfg_or_none(spark, index_dir, all_terms, seg=seg, dead=dead)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..scoring import partial as _partial
         for pdf in batches:
             # few rows per batch (one per (term, chunk)); plain column
-            # zip — no pandas row materialization
-            for term, payload, blks in zip(pdf["term"], pdf["postings"], pdf["blocks"]):
+            # zip — no pandas row materialization. dfg=None (single
+            # plain dir): idf comes from the row's own stored global df.
+            for term, row_df, payload, blks in zip(
+                    pdf["term"], pdf["df"], pdf["postings"], pdf["blocks"]):
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 if prox:
                     # proximity mode also carries each posting's
@@ -529,12 +670,20 @@ def search_taat(
                 if not parts:
                     continue
                 docids = np.concatenate([p[0] for p in parts])
-                w = _idf(float(dfg[term]), n_docs)
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                if cand_arr is not None:
+                    # prune NON-candidates before the shuffle (a term's
+                    # docids are unique; cand_arr sorted unique)
+                    keep = np.isin(docids, cand_arr, assume_unique=True)
+                    if not keep.any():
+                        continue
+                    docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+                w = _idf(float(dfg[term]) if dfg is not None
+                         else float(row_df), n_docs)
                 # exact: partial recomputed from (tf, dl) with the
                 # COMBINED avgdl — stored block bounds are not used here
-                tfs = np.concatenate([p[1] for p in parts])
-                contrib = w * _partial(tfs,
-                                       np.concatenate([p[2] for p in parts]), avgdl)
+                contrib = w * _partial(tfs, dls, avgdl)
                 if prox:
                     pos = np.concatenate(pos_parts).astype(np.int64)
                     yield pd.DataFrame({
@@ -546,7 +695,7 @@ def search_taat(
 
     dec_schema = ("term string, docid long, contrib double, pos array<long>"
                   if prox else "term string, docid long, contrib double")
-    decoded = seg.select("term", "blocks", "postings").mapInPandas(
+    decoded = seg.select("term", "df", "blocks", "postings").mapInPandas(
         decode, schema=dec_schema)
     if dead.size:
         # Arrow path, not a Python list of tuples: the dead set is
@@ -561,9 +710,9 @@ def search_taat(
     # unique term prefix, so the fold order is unchanged)
     entry = (F.struct("term", "contrib", "pos") if prox
              else F.struct("term", "contrib"))
-    if nq is None and mq is None:
+    if not has_neg and not has_must:
         scored = (
-            decoded.join(F.broadcast(qterms), "term")
+            decoded.join(F.broadcast(qa.qterms_df()), "term")
             .groupBy("query_id", "docid")
             .agg(F.sort_array(F.collect_list(entry)).alias("cs"))
             .withColumn("score", F.aggregate(
@@ -571,19 +720,18 @@ def search_taat(
         )
         if require_all:
             # |matched terms| per (query, doc) vs |analyzed terms| per query
-            qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-            scored = (scored.join(F.broadcast(qn), "query_id")
+            scored = (scored.join(F.broadcast(qa.qn_df()), "query_id")
                       .filter(F.size("cs") == F.col("qn")).drop("qn"))
         elif min_should_match is not None:
             scored = scored.filter(F.size("cs") >= F.lit(min_should_match))
     else:
         # bool clauses in the SAME aggregation: the decoded stream joins
         # the kind-flagged union of should/must/must_not query terms
-        # (0/1/2, max-deduped per (query, term) — _qterms_with_kinds);
+        # (0/1/2, max-deduped per (query, term) — _QueryAnalysis.kinds_df);
         # collect_list skips the nulled must_not structs, so the fold
         # order over positive terms is unchanged; clause-split counts
         # are conditional sums over the same rows — zero extra shuffles
-        qterms_all = _qterms_with_kinds(qterms, nq, mq)
+        qterms_all = qa.kinds_df()
         scored = (
             decoded.join(F.broadcast(qterms_all), "term")
             .groupBy("query_id", "docid")
@@ -596,16 +744,14 @@ def search_taat(
             .withColumn("score", F.aggregate(
                 "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
         )
-        if require_all:     # mq is None here (_check_bool_args)
-            qn = qterms.groupBy("query_id").agg(F.count("*").alias("qn"))
-            scored = (scored.join(F.broadcast(qn), "query_id")
+        if require_all:     # has_must is False here (_check_bool_args)
+            scored = (scored.join(F.broadcast(qa.qn_df()), "query_id")
                       .filter(F.size("cs") == F.col("qn")).drop("qn"))
         else:
-            if mq is not None:
+            if has_must:
                 # every analyzed must term (OOV included) has to match
-                qmn = mq.groupBy("query_id").agg(
-                    F.count("*").alias("qn_must"))
-                scored = (scored.join(F.broadcast(qmn), "query_id", "left")
+                scored = (scored.join(F.broadcast(qa.must_qn_df()),
+                                      "query_id", "left")
                           .filter(F.col("must_cnt")
                                   == F.coalesce("qn_must", F.lit(0)))
                           .drop("qn_must"))
@@ -1031,23 +1177,18 @@ def search_wand(
     (contract in :func:`_wand_one_query`)."""
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     _check_score_mode(score_mode)
-    qterms = analyze_queries(queries)
-    nq = analyze_neg_queries(queries)
-    mq = analyze_must_queries(queries)
-    terms = _collect_terms(qterms)
-    must_by_q = _mq_term_map(mq)
-    neg_terms = _collect_terms(nq) if nq is not None else []
-    must_terms = sorted({t for s in (must_by_q or {}).values() for t in s})
-    if must_by_q is not None and not must_terms:
-        must_by_q, mq = None, None    # must_qtext column present but all null
-    _check_bool_args(require_all, min_should_match, has_must=mq is not None)
+    qa = _QueryAnalysis(spark, queries)
+    terms, must_terms = qa.terms, qa.must_terms
+    must_by_q = qa.must_term_map()
+    _check_bool_args(require_all, min_should_match,
+                     has_must=must_by_q is not None)
     if not terms and not must_terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
-    qterms_j = _qterms_with_kinds(qterms, nq if neg_terms else None, mq)
-    all_terms = sorted(set(terms) | set(neg_terms) | set(must_terms))
+    qterms_j = qa.kinds_df()
+    all_terms = qa.all_terms
     seg = candidate_segments(spark, index_dir, all_terms)
-    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
-    qn = _qn_map(qterms) if require_all else None
+    dfg = _dfg_or_none(spark, index_dir, all_terms, seg=seg, dead=dead)
+    qn = qa.qn_map() if require_all else None
 
     seg_q = seg.join(F.broadcast(qterms_j), "term")
 
@@ -1129,23 +1270,18 @@ def search_wand_ranges(
 
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     _check_score_mode(score_mode)
-    qterms = analyze_queries(queries)
-    nq = analyze_neg_queries(queries)
-    mq = analyze_must_queries(queries)
-    terms = _collect_terms(qterms)
-    must_by_q = _mq_term_map(mq)
-    neg_terms = _collect_terms(nq) if nq is not None else []
-    must_terms = sorted({t for s in (must_by_q or {}).values() for t in s})
-    if must_by_q is not None and not must_terms:
-        must_by_q, mq = None, None    # must_qtext column present but all null
-    _check_bool_args(require_all, min_should_match, has_must=mq is not None)
+    qa = _QueryAnalysis(spark, queries)
+    terms, must_terms = qa.terms, qa.must_terms
+    must_by_q = qa.must_term_map()
+    _check_bool_args(require_all, min_should_match,
+                     has_must=must_by_q is not None)
     if not terms and not must_terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
-    qterms_j = _qterms_with_kinds(qterms, nq if neg_terms else None, mq)
-    all_terms = sorted(set(terms) | set(neg_terms) | set(must_terms))
+    qterms_j = qa.kinds_df()
+    all_terms = qa.all_terms
     seg = candidate_segments(spark, index_dir, all_terms)
-    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
-    qn = _qn_map(qterms) if require_all else None
+    dfg = _dfg_or_none(spark, index_dir, all_terms, seg=seg, dead=dead)
+    qn = qa.qn_map() if require_all else None
     seg = seg.withColumn("__max_docid", F.element_at("blocks", -1)["last_docid"])
     seg_q = seg.join(F.broadcast(qterms_j), "term")
 
@@ -1557,6 +1693,7 @@ def _phrase_one_query(g: pd.DataFrame, phrase: list[tuple[int, str]],
                           "score": pd.Series([], dtype="float64")})
     if range_hi is None:
         range_hi = np.iinfo(np.int64).max
+    dfg = _dfg_from_rows(g, dfg)
     qid = int(g["query_id"].iloc[0])
     distinct_terms = sorted({t for _, t in phrase})
     inter, per_term = _decode_candidate_positions(
@@ -1618,19 +1755,24 @@ def search_phrase(
     from pyspark.sql.window import Window
 
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
-    qterms = analyze_phrase_queries(queries)
-    # per-query (qpos, term) structure, closure-captured (tiny)
-    phrase_rows = qterms.collect()
+    # per-query (qpos, term) structure, driver-side (tiny): the same
+    # frozen tokenizer as analyze_phrase_queries, ordered and
+    # duplicate-keeping, without the mapInPandas+collect job
+    qp = queries.select("query_id", "qtext").toPandas()
     phrases: dict[int, list[tuple[int, str]]] = {}
-    for r in phrase_rows:
-        phrases.setdefault(int(r["query_id"]), []).append((int(r["qpos"]), r["term"]))
-    for p in phrases.values():
-        p.sort()
-    terms = sorted({r["term"] for r in phrase_rows})
+    for qid_, qtext_ in zip(qp["query_id"], qp["qtext"]):
+        if qtext_ is None:
+            continue
+        toks = tokenize(qtext_)
+        if toks:
+            lst = phrases.setdefault(int(qid_), [])
+            base = len(lst)
+            lst.extend((base + i, t) for i, t in enumerate(toks))
+    terms = sorted({t for p in phrases.values() for _, t in p})
     if not terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, terms)
-    dfg = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+    dfg = _dfg_or_none(spark, index_dir, terms, seg=seg, dead=dead)
     qdist = spark.createDataFrame(
         [(qid, t) for qid, p in phrases.items() for t in {t for _, t in p}],
         "query_id long, term string")
@@ -1697,7 +1839,7 @@ def _expand_dict_terms(spark: SparkSession, index_dir, cond,
     dirs = _as_dirs(index_dir)
     dic = None
     for d in dirs:
-        piece = (spark.read.parquet(IndexPaths(d).dictionary)
+        piece = (read_dictionary(spark, d)
                  .select("term", "df").filter(cond))
         dic = piece if dic is None else dic.unionByName(piece)
     rows = (dic.groupBy("term").agg(F.sum("df").alias("df"))
@@ -1832,6 +1974,7 @@ def _phrase_prefix_one_query(g: pd.DataFrame, fixed: list[str],
                           "score": pd.Series([], dtype="float64")})
     if range_hi is None:
         range_hi = np.iinfo(np.int64).max
+    dfg = _dfg_from_rows(g, dfg)
     qid = int(g["query_id"].iloc[0])
     fixed_terms = sorted(set(fixed))
     term_rows: dict[str, list[tuple]] = {}
@@ -1994,16 +2137,16 @@ def search_phrase_prefix(
     from pyspark.sql.window import Window
 
     n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
-    qterms = analyze_phrase_queries(queries)
-    phrase_rows = qterms.collect()
-    phrases: dict[int, list[tuple[int, str]]] = {}
-    for r in phrase_rows:
-        phrases.setdefault(int(r["query_id"]), []).append(
-            (int(r["qpos"]), r["term"]))
+    qp = queries.select("query_id", "qtext").toPandas()
+    phrases: dict[int, list[str]] = {}
+    for qid_, qtext_ in zip(qp["query_id"], qp["qtext"]):
+        if qtext_ is None:
+            continue
+        toks = tokenize(qtext_)
+        if toks:
+            phrases.setdefault(int(qid_), []).extend(toks)
     plans: dict[int, tuple[list[str], list[str]]] = {}
-    for qid, p in phrases.items():
-        p.sort()
-        toks = [t for _, t in p]
+    for qid, toks in phrases.items():
         fixed, prefix = toks[:-1], toks[-1]
         plans[qid] = (fixed,
                       expand_prefix_terms(spark, index_dir, prefix,
@@ -2013,7 +2156,7 @@ def search_phrase_prefix(
     if not all_terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, all_terms)
-    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
+    dfg = _dfg_or_none(spark, index_dir, all_terms, seg=seg, dead=dead)
     qdist = spark.createDataFrame(
         [(qid, t) for qid, (fixed, exps) in plans.items()
          for t in sorted(set(fixed) | set(exps))],

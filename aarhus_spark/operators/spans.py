@@ -56,8 +56,8 @@ from ..config import TOP_K
 from ..scoring import partial as _partial
 from ..textops import tokenize
 from .search import (RESULT_SCHEMA, _as_dirs, _chain_stats,
-                     _decode_candidate_positions, _exact_anchor_keys,
-                     _global_df_map, _idf, _sloppy_match,
+                     _decode_candidate_positions, _dfg_from_rows,
+                     _dfg_or_none, _exact_anchor_keys, _idf, _sloppy_match,
                      candidate_segments, default_n_ranges, docid_domain)
 
 _MASK32 = np.int64((1 << 32) - 1)
@@ -134,6 +134,7 @@ def _span_near_one_query(g: pd.DataFrame, clauses: list[str], slop: int,
                          k: int, dfg: dict, range_lo: int = 0,
                          range_hi: int | None = None,
                          dead: np.ndarray | None = None) -> pd.DataFrame:
+    dfg = _dfg_from_rows(g, dfg)
     qid = int(g["query_id"].iloc[0])
     req = sorted(set(clauses))
     inter, per_term = _decode_candidate_positions(
@@ -161,6 +162,7 @@ def _span_not_one_query(g: pd.DataFrame, phrase: list[str], exclude: str,
                         k: int, dfg: dict, range_lo: int = 0,
                         range_hi: int | None = None,
                         dead: np.ndarray | None = None) -> pd.DataFrame:
+    dfg = _dfg_from_rows(g, dfg)
     qid = int(g["query_id"].iloc[0])
     req = sorted(set(phrase))
     inter, per_term = _decode_candidate_positions(
@@ -192,6 +194,7 @@ def _span_first_one_query(g: pd.DataFrame, term: str, end: int,
                           n_docs: int, avgdl: float, k: int, dfg: dict,
                           range_lo: int = 0, range_hi: int | None = None,
                           dead: np.ndarray | None = None) -> pd.DataFrame:
+    dfg = _dfg_from_rows(g, dfg)
     qid = int(g["query_id"].iloc[0])
     inter, per_term = _decode_candidate_positions(
         g, [term], range_lo, range_hi, dead)
@@ -218,7 +221,7 @@ def _dispatch(spark: SparkSession, index_dir, queries: DataFrame,
     if not all_terms:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, all_terms)
-    dfg = _global_df_map(spark, index_dir, all_terms, seg=seg, dead=dead)
+    dfg = _dfg_or_none(spark, index_dir, all_terms, seg=seg, dead=dead)
     qdist = spark.createDataFrame(
         [(qid, t) for qid, terms in plans.items() for t in sorted(set(terms))],
         "query_id long, term string")
@@ -366,6 +369,7 @@ def _intervals_one_query(g: pd.DataFrame, clauses: list[list[str]],
                          range_lo: int = 0, range_hi: int | None = None,
                          dead: np.ndarray | None = None) -> pd.DataFrame:
     from .search import _min_window_flat
+    dfg = _dfg_from_rows(g, dfg)
     qid = int(g["query_id"].iloc[0])
     flat = sorted({t for alts in clauses for t in alts})
     inter, per_term = _decode_candidate_positions(

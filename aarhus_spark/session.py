@@ -21,6 +21,18 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # size post-shuffle partitions by BYTES, not core count: with
+        # parallelismFirst=true (the default) AQE refuses to coalesce
+        # below defaultParallelism, so tiny shuffles schedule 32 tasks
+        # and every sink writes 32 shard files; byte-driven coalescing
+        # is the scale-correct behavior (guide §2.2/§6 — partitions in
+        # the 100MB-1GB band, output files worth opening) and removes
+        # the per-task scheduling + small-file overhead at every size.
+        # Both knobs stay env-overridable for cluster tuning.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("AARHUS_AQE_PARALLELISM_FIRST", "false"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("AARHUS_ADVISORY_PARTITION", "64m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("AARHUS_ARROW_BATCH", "10000"))

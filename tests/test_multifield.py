@@ -237,3 +237,50 @@ def test_fuzzy_search_equals_expanded_disjunction(spark, sf_dir):
         "query_id long, qtext string"), k=15).collect()
     key = lambda r: (r["query_id"], r["rank"], r["docid"], r["score"])
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+# ---------------------------------------------------------------------------
+# pruned (threshold-algorithm) multi_match ≡ exhaustive combiner
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode,tie,boost,k", [
+    ("best_fields", 0.0, 1.0, 2),
+    ("best_fields", 0.3, 3.0, 2),
+    ("best_fields", 1.0, 1.0, 100),
+    ("most_fields", 0.0, 2.0, 3),
+    ("most_fields", 0.0, 1.0, 100),
+])
+def test_multi_match_pruned_equals_exhaustive(spark, mf_index, mode, tie,
+                                              boost, k):
+    """The Fagin-style pruned combiner must return BIT-identical rows to
+    the exhaustive fold — same docids, same ranks, same float64 scores —
+    for every mode/tie_breaker/boost/k combination (small k forces the
+    threshold check; k=100 exhausts every field)."""
+    from aarhus_spark.operators.multifield import search_multi_match
+    out, _ = mf_index
+    qdf = spark.createDataFrame(
+        [(0, "apple"), (1, "banana cherry"), (2, "durian"),
+         (3, "zzzznomatch")],
+        "query_id long, qtext string")
+    kw = dict(k=k, boosts={"title": boost}, mode=mode, tie_breaker=tie)
+    ex = search_multi_match(spark, out, qdf, prune=False, **kw).collect()
+    pr = search_multi_match(spark, out, qdf, prune=True, **kw).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    ex_m = {key(r): (r["docid"], r["score"]) for r in ex}
+    pr_m = {key(r): (r["docid"], r["score"]) for r in pr}
+    assert ex_m == pr_m     # exact equality incl. float64 bit value
+
+
+def test_multi_match_pruned_escalates(spark, mf_index):
+    """k' escalation path: with k equal to the full match count the
+    first round can't prove the bound for every query, so the loop must
+    escalate and still terminate with the exhaustive answer."""
+    from aarhus_spark.operators.multifield import search_multi_match
+    out, _ = mf_index
+    qdf = spark.createDataFrame([(0, "apple banana cherry")],
+                                "query_id long, qtext string")
+    ex = search_multi_match(spark, out, qdf, k=5, prune=False,
+                            mode="most_fields").collect()
+    pr = search_multi_match(spark, out, qdf, k=5, prune=True,
+                            mode="most_fields").collect()
+    assert sorted(map(tuple, ex)) == sorted(map(tuple, pr))
