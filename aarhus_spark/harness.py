@@ -2665,9 +2665,15 @@ def q_es_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     qdf = spark.createDataFrame(FLAGSHIP_QUERIES,
                                 "query_id long, qtext string")
-    return search_explain(spark, idx, qdf,
-                          pages_from_documents(spark, sf_dir),
-                          k=10, rank_round_to=6)
+    # k=20 then rank <= 10: the _rerank_rounded headroom convention
+    # every other FP-ranked entry uses — the engine must not pre-cut on
+    # the UNROUNDED score at exactly the compared boundary, or a
+    # summation-order tie straddling rank 10/11 could diverge from the
+    # oracle's rounded full-set ranking
+    out = search_explain(spark, idx, qdf,
+                         pages_from_documents(spark, sf_dir),
+                         k=20, rank_round_to=6)
+    return out.filter(F.col("rank") <= 10)
 
 
 def _explain_oracle_sql(k: int = 10) -> str:

@@ -628,7 +628,15 @@ def _make_fragment_encoder(avgdl: float, fragments_dir: str, manifests_dir: str,
                 return
             if self.writer is None:
                 os.makedirs(self.dir, exist_ok=True)
-                codec = os.environ.get("AARHUS_FRAG_CODEC", "zstd")
+                # snappy, not zstd: the postings payload is delta+VByte
+                # packed and measurably incompressible — the r8 A/B at
+                # 60k pages wrote 33.8 MB of fragments under zstd, lz4,
+                # snappy AND none alike, while the fragment stage wall
+                # was 6.9 s (zstd) vs 4.5 s (snappy/none). Heavy codecs
+                # here are pure CPU overhead (guide §2.3: high-entropy
+                # payloads); snappy keeps cheap insurance for corpora
+                # whose metadata columns do compress. Env-overridable.
+                codec = os.environ.get("AARHUS_FRAG_CODEC", "snappy")
                 self.writer = pq.ParquetWriter(self.tmp, FRAG_PA_SCHEMA, compression=codec)
             cols = {k: [r[k] for r in self.pending] for k in FRAG_PA_SCHEMA.names}
             self.writer.write_table(pa.table(cols, schema=FRAG_PA_SCHEMA))

@@ -72,8 +72,11 @@ dictionary rewrites).
 
 from __future__ import annotations
 
+import os as _os
 from collections import Counter
 from math import log
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,16 +105,28 @@ def search_matches(spark: SparkSession, index_dir, queries: DataFrame,
 
 
 def _doc_meta(spark: SparkSession, index_dir) -> DataFrame:
-    """(docid, url, dl, warc_ts) across a chain — the doclens sink S4.
-    In a chain, later dirs win on docid (re-crawl overwrite), matching
-    the tombstone semantics: keep the row from the LAST dir that has
-    the docid."""
+    """LIVE (docid, url, dl, warc_ts) across a chain — the doclens sink
+    S4 minus tombstoned docids. Re-crawl overwrite chains allocate a
+    FRESH docid for the new row and record the superseded base docid in
+    the delta's tombstones/ parquet (operators/incremental.py), so
+    docids never collide across dirs; liveness is purely the tombstone
+    filter (broadcast anti-join, bounded by TOMBSTONE_BUDGET — the same
+    device the retrieval path uses). The per-docid window stays as
+    defense in depth against a duplicate-docid writer bug."""
+    import pandas as _pd
+
+    from .search import load_tombstones
     dirs = _as_dirs(index_dir)
     meta = None
     for i, d in enumerate(dirs):
         piece = (read_doclens(spark, d)
                  .withColumn("__gen", F.lit(i)))
         meta = piece if meta is None else meta.unionByName(piece)
+    dead, _dl = load_tombstones(spark, dirs)
+    if dead.size:
+        dead_df = spark.createDataFrame(
+            _pd.DataFrame({"docid": dead.astype("int64")}))
+        meta = meta.join(F.broadcast(dead_df), "docid", "left_anti")
     if len(dirs) == 1:
         return meta.drop("__gen")
     w = Window.partitionBy("docid").orderBy(F.desc("__gen"))
@@ -228,7 +243,12 @@ def search_significant_terms(spark: SparkSession, index_dir,
                  .select("term", "df"))
         dic = piece if dic is None else dic.unionByName(piece)
     dic = dic.groupBy("term").agg(F.sum("df").alias("bg_df"))
-    n_total, _, _ = load_stats_multi(dirs)
+    # bg_size = tombstone-corrected live N (the retrieval path's N_eff);
+    # bg_df stays the STORED dictionary df — exactly Lucene/ES, whose
+    # docFreq ignores deletions until segments merge while live-doc
+    # counts exclude them (compaction purges both here)
+    from .search import _chain_stats
+    n_total, _, _, _dead = _chain_stats(spark, index_dir)
     fgp = F.col("fg_df").cast("double") / F.col("fg_size").cast("double")
     bgp = F.col("bg_df").cast("double") / F.lit(float(n_total))
     score = F.round((fgp / bgp) * (fgp - bgp), round_to)
@@ -451,8 +471,10 @@ def mlt_select_terms(spark: SparkSession, index_dir, seed_text: str,
                 .filter(F.col("term").isin(cand)).collect())
         for r in rows:
             dfm[r["term"]] += int(r["df"])
+    # max(min_doc_freq, 1): with min_doc_freq=0 an out-of-dictionary
+    # term would pass the filter and divide by dfm[t] == 0
     scored = [(t, round(tf[t] * log(1.0 + n_docs / dfm[t]), 9))
-              for t in cand if dfm.get(t, 0) >= min_doc_freq]
+              for t in cand if dfm.get(t, 0) >= max(min_doc_freq, 1)]
     scored.sort(key=lambda x: (-x[1], x[0]))
     return sorted(t for t, _ in scored[:max_query_terms])
 
@@ -966,23 +988,34 @@ def search_explain(spark: SparkSession, index_dir, queries: DataFrame,
     the dictionary lookup is a pushed point scan. Returns (query_id,
     rank, docid, term, tf, df, idf_r, tfn_r, contrib_r, score_r)."""
     from ..config import B, K1
-    from .search import _QueryAnalysis
+    from .search import (_QueryAnalysis, _chain_stats, _global_df_map,
+                         candidate_segments)
     top = search_topk(spark, index_dir, queries, k=k, n_ranges=n_ranges)
     if rank_round_to is not None:
         w0 = Window.partitionBy("query_id").orderBy(
             F.desc(F.round("score", rank_round_to)), F.asc("docid"))
         top = top.withColumn("rank", F.row_number().over(w0))
     dirs = _as_dirs(index_dir)
-    n_docs, avgdl, _ = load_stats_multi(dirs)
+    # tombstone-corrected stats (N_eff, avgdl_eff, df_eff), the SAME
+    # values the retrieval path scores with — explain contributions
+    # must sum back to the retrieval score on re-crawl chains too
+    n_docs, avgdl, _, dead = _chain_stats(spark, index_dir)
     qa = _QueryAnalysis(spark, queries)
     qterms = qa.qterms_df()
     terms = qa.terms
-    dfs = None
-    for d in dirs:
-        piece = (read_dictionary(spark, d)
-                 .select("term", "df").filter(F.col("term").isin(terms)))
-        dfs = piece if dfs is None else dfs.unionByName(piece)
-    dfs = dfs.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    if dead.size:
+        seg = candidate_segments(spark, index_dir, terms)
+        dfm = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
+        dfs = spark.createDataFrame(
+            [(t, int(v)) for t, v in sorted(dfm.items())],
+            "term string, df long")
+    else:
+        dfs = None
+        for d in dirs:
+            piece = (read_dictionary(spark, d)
+                     .select("term", "df").filter(F.col("term").isin(terms)))
+            dfs = piece if dfs is None else dfs.unionByName(piece)
+        dfs = dfs.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
     meta = _doc_meta(spark, index_dir).select("docid", "url", "dl")
     hit = (top.join(meta, "docid")
            .join(docs.select("url", "text"), "url"))
@@ -1083,8 +1116,17 @@ def suggest_phrases(spark: SparkSession, index_dir, phrases: DataFrame,
                     "edits", "doc_count"))
 
 
+# registered-set size above which percolate switches from the
+# broadcast nested-loop plan (predicate cost O(|registered|) PER DOC)
+# to term→query candidate pre-selection (cost O(doc's distinct tokens)
+# per doc — the ES percolator-index shape). Env-overridable.
+PERCOLATE_PRESELECT_MIN = int(
+    _os.environ.get("AARHUS_PERCOLATE_PRESELECT_MIN", 4096))
+
+
 def percolate(spark: SparkSession, queries: DataFrame,
-              docs: DataFrame) -> DataFrame:
+              docs: DataFrame,
+              candidate_preselect: bool | None = None) -> DataFrame:
     """ES *percolate* query — reverse search: match INCOMING documents
     against a set of REGISTERED queries at ingest time (alerting /
     saved-search routing), before anything reaches the index. Each
@@ -1116,6 +1158,30 @@ def percolate(spark: SparkSession, queries: DataFrame,
     every registered query's memory-resident form; candidate
     pre-selection (ES's internal percolator index) is an optimization
     over the same contract, not a different answer."""
+    # validate the registered set up front (it is broadcast-scale by
+    # contract, so a driver check costs nothing): a must/phrase query
+    # whose qtext analyzes to ZERO terms would yield qarr=[] and
+    # need=0, silently matching EVERY incoming document; an msm query
+    # with a null or < 1 msm silently matches nothing. Raise instead,
+    # matching the other operators' validation style.
+    qv = queries.select("query_id", "kind", "msm", "qtext").toPandas()
+    for qid_, kind_, msm_, qtext_ in zip(qv["query_id"], qv["kind"],
+                                         qv["msm"], qv["qtext"]):
+        if kind_ in ("must", "phrase", "msm") and not tokenize(qtext_ or ""):
+            raise ValueError(
+                f"registered percolate query {qid_} ({kind_}) analyzes "
+                f"to zero terms: {qtext_!r} — it would match every "
+                f"(must/phrase) or no (msm) incoming document")
+        if kind_ == "msm" and (msm_ is None or int(msm_) < 1):
+            raise ValueError(
+                f"registered percolate query {qid_} needs msm >= 1, "
+                f"got {msm_!r}")
+
+    if candidate_preselect is None:
+        candidate_preselect = len(qv) >= PERCOLATE_PRESELECT_MIN
+    if candidate_preselect:
+        return _percolate_preselect(spark, qv, docs)
+
     def _tok(col):
         return F.filter(
             F.split(F.lower(col), "[^a-z0-9]+"),
@@ -1147,6 +1213,89 @@ def percolate(spark: SparkSession, queries: DataFrame,
         F.broadcast(phrase_q), F.col("hay").contains(F.col("needle")))
         .select("url", "query_id", "kind"))
     return term_hits.unionByName(phrase_hits)
+
+
+def _percolate_preselect(spark: SparkSession, qv, docs: DataFrame) -> DataFrame:
+    """Candidate pre-selection percolator — the ES percolator-index
+    shape for LARGE registered sets (round-7 verdict item 4).
+
+    The broadcast nested-loop plan evaluates every registered predicate
+    against every incoming doc: O(|registered|) work per doc, fine for
+    thousands of saved searches, a scale wall at 10^5+. This path
+    builds a term → [query] inverted map over the registered queries'
+    analyzed terms (driver-side — the registered set is the same
+    broadcast-scale object the BNL path ships), broadcasts it, and for
+    each incoming doc counts per-query matched DISTINCT terms via map
+    lookups on the doc's distinct tokens only — O(distinct tokens) per
+    doc regardless of |registered|. The exact predicates then run on
+    the shortlist alone:
+
+    - must: matched-distinct-count == |analyzed terms| IS the predicate;
+    - msm: matched-distinct-count >= msm IS the predicate;
+    - phrase: all-terms-present is the necessary pre-filter; the exact
+      guarded-substring test (' needle ' in ' hay ') runs per surviving
+      (doc, query) pair only.
+
+    Bit-identical matches to the broadcast plan (pytest-pinned): the
+    tokenizer is the same frozen analyzer, and each predicate above is
+    algebraically the BNL column predicate. Docs never shuffle — ONE
+    mapInPandas pass over (url, text), no Exchange on the doc side at
+    all (the output is the match rows themselves)."""
+    import numpy as np
+
+    term_to_q: dict[str, list] = {}
+    qmeta: dict[int, tuple] = {}   # qid -> (kind, need, needle|None)
+    for qid_, kind_, msm_, qtext_ in zip(qv["query_id"], qv["kind"],
+                                         qv["msm"], qv["qtext"]):
+        qid_ = int(qid_)
+        toks = tokenize(qtext_ or "")
+        uniq = sorted(set(toks))
+        if kind_ == "must":
+            need = len(uniq)
+        elif kind_ == "msm":
+            need = int(msm_)
+        elif kind_ == "phrase":
+            need = len(uniq)
+        else:
+            continue    # unknown kinds contribute nothing (BNL parity)
+        needle = " " + " ".join(toks) + " " if kind_ == "phrase" else None
+        qmeta[qid_] = (str(kind_), need, needle)
+        for t in uniq:
+            term_to_q.setdefault(t, []).append(qid_)
+    b = spark.sparkContext.broadcast((term_to_q, qmeta))
+
+    def match(batches):
+        t2q, meta = b.value
+        for pdf in batches:
+            out_url, out_qid, out_kind = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                toks = tokenize(text or "")
+                counts: dict[int, int] = {}
+                for t in set(toks):
+                    for qid in t2q.get(t, ()):
+                        counts[qid] = counts.get(qid, 0) + 1
+                if not counts:
+                    continue
+                hay = None
+                for qid, c in counts.items():
+                    kind, need, needle = meta[qid]
+                    if c < need:
+                        continue
+                    if needle is not None:
+                        if hay is None:
+                            hay = " " + " ".join(toks) + " "
+                        if needle not in hay:
+                            continue
+                    out_url.append(url)
+                    out_qid.append(qid)
+                    out_kind.append(kind)
+            if out_url:
+                yield pd.DataFrame({"url": out_url,
+                                    "query_id": np.asarray(out_qid, np.int64),
+                                    "kind": out_kind})
+
+    return docs.select("url", "text").mapInPandas(
+        match, schema="url string, query_id long, kind string")
 
 
 def search_adjacency_matrix(spark: SparkSession, index_dir,

@@ -859,3 +859,39 @@ def test_global_metric_aggs_query_independent(spark, eidx):
     assert r["avg_dl"] == pytest.approx(dls.mean(), abs=1e-9)
     assert r["p50_dl"] == pytest.approx(
         float(np.percentile(dls, 50, method="linear")), abs=1e-9)
+
+
+def test_percolate_preselect_equals_broadcast(spark, eidx):
+    """The candidate pre-selection percolator (large registered sets)
+    must produce EXACTLY the broadcast nested-loop plan's matches —
+    same (url, query_id, kind) rows — across must/msm/phrase kinds,
+    including queries that match nothing."""
+    from aarhus_spark.operators.eslayer import percolate
+    out, oidx, docs, ddf = eidx
+    reg = [(0, "the data query2", "must", 0),
+           (1, "spark16 merge12 join11 data", "msm", 2),
+           (2, "the data", "phrase", 0),
+           (3, "data zzznever", "must", 0),
+           (4, "data the", "phrase", 0),
+           (5, "the", "msm", 1)]
+    qdf = spark.createDataFrame(
+        reg, "query_id long, qtext string, kind string, msm int")
+    a = sorted(map(tuple, percolate(spark, qdf, docs,
+                                    candidate_preselect=False).collect()))
+    b = sorted(map(tuple, percolate(spark, qdf, docs,
+                                    candidate_preselect=True).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_percolate_preselect_rejects_degenerate(spark, eidx):
+    from aarhus_spark.operators.eslayer import percolate
+    out, oidx, docs, ddf = eidx
+    bad = spark.createDataFrame([(0, "...", "must", 0)],
+                                "query_id long, qtext string, kind string, msm int")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zero terms"):
+        percolate(spark, bad, docs, candidate_preselect=True)
+    badmsm = spark.createDataFrame([(0, "data", "msm", 0)],
+                                   "query_id long, qtext string, kind string, msm int")
+    with _pytest.raises(ValueError, match="msm >= 1"):
+        percolate(spark, badmsm, docs, candidate_preselect=False)
