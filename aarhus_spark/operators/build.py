@@ -1127,6 +1127,14 @@ def encode_merge_finalize(
         frags = spark.read.schema(FRAGMENTS_READ_SCHEMA).parquet(paths.fragments)
     head = (
         frags.filter(F.col("is_head") | (F.col("n") > max_postings_per_row))
+        # explicit width: merge groups are CPU-heavy per input byte
+        # (decode + concat + re-encode of a head term's postings), so
+        # AQE's byte-based coalescing (session.py parallelismFirst=
+        # false) would pack several multi-second groups into one task —
+        # measured at the 1M-page protocol: merge stage 34.9 s → 52.5 s
+        # at local[4]. A pinned hash partitioning by term keeps the
+        # groups spread; groupBy reuses it, so still ONE exchange.
+        .repartition(n_buckets, "term")
         .groupBy("term").applyInPandas(_make_merger(avgdl, max_postings_per_row), SEGMENT_SCHEMA)
     )
 

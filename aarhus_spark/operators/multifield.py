@@ -121,15 +121,20 @@ def list_fields(out_root: str) -> list[str]:
         return json.load(f)["fields"]
 
 
-# pruned top-k dispatch: below this corpus size the exhaustive
-# combiner wins (the pruned path's extra WAND + restricted-score jobs
-# are pure overhead on a small index); above it the exhaustive path's
-# full per-field TAAT materialization is the scale-killer the round-7
-# verdict flagged. Env-overridable; tests force both paths explicitly.
+# pruned top-k dispatch threshold. OPT-IN by default (effectively
+# infinite): the round-8 measurements found the exhaustive combiner
+# still faster at 200k AND 900k docs on the harness field shape —
+# the 40-char title field puts thousands of docs into single
+# (tf, dl) score classes, block-max bounds degenerate under those
+# ties, and the per-field WAND top-k' passes stop pruning (see
+# OPTIMIZATION_r08.md §7 for the walls). The pruned path stays
+# available (prune=True / this env knob) for corpora whose fields
+# have discriminative score distributions; it is bit-identical
+# (pytest-pinned incl. a tie-heavy fixture).
 import os as _os
 
 MULTI_MATCH_PRUNE_MIN_DOCS = int(
-    _os.environ.get("AARHUS_MM_PRUNE_MIN_DOCS", 100_000))
+    _os.environ.get("AARHUS_MM_PRUNE_MIN_DOCS", 1 << 62))
 
 
 def search_multi_match(spark: SparkSession, index_root: str,
@@ -298,6 +303,8 @@ def _multi_match_pruned(spark: SparkSession, index_root: str,
 
     from .search import RESULT_SCHEMA, search_taat, search_topk
 
+    from concurrent.futures import ThreadPoolExecutor
+
     qp = queries.select("query_id", "qtext").toPandas()
     pending = [int(x) for x in qp["query_id"]]
     results: dict[int, pd.DataFrame] = {}
@@ -305,14 +312,24 @@ def _multi_match_pruned(spark: SparkSession, index_root: str,
     while pending:
         sub_q = spark.createDataFrame(
             qp[qp["query_id"].isin(pending)], "query_id long, qtext string")
-        tops: dict[str, pd.DataFrame] = {}
-        for name in fields:
-            tops[name] = search_topk(
-                spark, _field_dir(index_root, name), sub_q,
-                k=kprime).toPandas()
-        # candidate union + per-(query, field) thresholds
+        # per-field jobs are independent — run them concurrently so the
+        # second field back-fills the first's task tail (guide §2.6)
+        with ThreadPoolExecutor(max_workers=len(fields)) as pool:
+            futs = {name: pool.submit(
+                lambda n=name: search_topk(
+                    spark, _field_dir(index_root, n), sub_q,
+                    k=kprime).toPandas()) for name in fields}
+            tops: dict[str, pd.DataFrame] = {
+                name: f.result() for name, f in futs.items()}
+        # candidate union + per-(query, field) thresholds. d_star = the
+        # docid of the k'-th hit: WAND returns (score desc, docid asc),
+        # so any UNSEEN doc whose field score TIES τ_f must have a
+        # docid > d_star_f — the tie-break lever that settles
+        # tie-heavy fields (e.g. short title fields, where thousands of
+        # docs share one (tf, dl) score class and τ never drops).
         cand_pairs: dict[int, set] = {qid: set() for qid in pending}
         tau: dict[int, dict[str, float]] = {qid: {} for qid in pending}
+        d_star: dict[int, dict[str, int]] = {qid: {} for qid in pending}
         exhausted: dict[int, bool] = {qid: True for qid in pending}
         for name in fields:
             b = float(boosts.get(name, 1.0))
@@ -321,7 +338,9 @@ def _multi_match_pruned(spark: SparkSession, index_root: str,
                 qid = int(qid)
                 cand_pairs[qid].update(int(x) for x in g["docid"])
                 if len(g) >= kprime:
-                    tau[qid][name] = b * float(g["score"].min())
+                    last = g.loc[g["rank"].idxmax()]
+                    tau[qid][name] = b * float(last["score"])
+                    d_star[qid][name] = int(last["docid"])
                     exhausted[qid] = False
         cand_docids = np.array(
             sorted({d for s in cand_pairs.values() for d in s}),
@@ -336,13 +355,17 @@ def _multi_match_pruned(spark: SparkSession, index_root: str,
             break
         # exact per-field scores for candidates only: the TAAT decode
         # drops non-candidates before its shuffle; the fold for a
-        # surviving pair is unchanged, so scores are bit-identical
-        rows_by_field: dict[str, pd.DataFrame] = {}
-        for name in fields:
-            m = search_taat(spark, _field_dir(index_root, name), sub_q,
-                            return_matches=True,
-                            _candidate_docids=cand_docids).toPandas()
-            rows_by_field[name] = m
+        # surviving pair is unchanged, so scores are bit-identical.
+        # Concurrent per field, like the top-k' pass above.
+        with ThreadPoolExecutor(max_workers=len(fields)) as pool:
+            futs = {name: pool.submit(
+                lambda n=name: search_taat(
+                    spark, _field_dir(index_root, n), sub_q,
+                    return_matches=True,
+                    _candidate_docids=cand_docids).toPandas())
+                for name in fields}
+            rows_by_field: dict[str, pd.DataFrame] = {
+                name: f.result() for name, f in futs.items()}
         comb = _combine_rows(rows_by_field, boosts, mode, tie_breaker)
         # keep only each query's own candidate pairs (the docid-level
         # decode restriction spans queries, so query A's fold may have
@@ -368,7 +391,34 @@ def _multi_match_pruned(spark: SparkSession, index_root: str,
             bound = (total_t if mode == "most_fields"
                      else best_t + float(tie_breaker) * (total_t - best_t))
             n_above = int((g["score"] > bound).sum()) if len(g) else 0
-            if exhausted[qid] or n_above >= k:
+            accepted = exhausted[qid] or n_above >= k
+            if not accepted and len(g) >= k:
+                # tie-aware acceptance: the k-th candidate may TIE the
+                # bound. An unseen doc tying it must (a) hit τ_f in the
+                # field(s) realizing the bound — for most_fields or
+                # tie_breaker > 0 that is EVERY non-exhausted field
+                # (the combine is strictly increasing per coordinate);
+                # for pure best_fields, SOME bound-achieving field —
+                # and (b) rank below k' there, i.e. have docid >
+                # d_star_f (WAND order is score desc, docid asc). So
+                # the k-th candidate wins every such tie when its docid
+                # ≤ the smallest docid an unseen tying doc can have.
+                row_k = g.iloc[k - 1]
+                if float(row_k["score"]) == bound:
+                    ds = d_star[qid]
+                    if mode == "best_fields" and float(tie_breaker) == 0.0:
+                        # unseen tying doc needs ONE bound-achieving
+                        # field → its docid > min of those d_stars
+                        lims = [ds[n] for n in ds
+                                if taus.get(n, 0.0) == bound]
+                        lim = min(lims) if lims else None
+                    else:
+                        # …needs EVERY non-exhausted field at τ → its
+                        # docid > max of all d_stars
+                        lim = max(ds.values()) if ds else None
+                    if lim is not None and int(row_k["docid"]) <= lim:
+                        accepted = True
+            if accepted:
                 top = g.head(k).reset_index(drop=True)
                 results[qid] = pd.DataFrame({
                     "query_id": top["query_id"].astype("int64"),

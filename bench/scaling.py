@@ -132,29 +132,40 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     levels = [int(a) for a in sys.argv[2:]] or [2, 4, 8, 16]
     workdir = tempfile.mkdtemp(prefix="aarhus_scaling_")
-    src = os.path.join(workdir, "pages")
+    # AARHUS_SCALING_SRC: reuse an already-generated pages dir (the
+    # generator is deterministic for a given n_pages, so this is a pure
+    # resume seam after an interrupted run — it changes no measurement)
+    src_env = os.environ.get("AARHUS_SCALING_SRC")
+    if src_env and os.path.exists(os.path.join(src_env, "_SUCCESS")):
+        src = src_env
+    else:
+        src = os.path.join(workdir, "pages")
+        # deterministic synthetic input via the distributed generator
+        gen = subprocess.run(
+            [sys.executable, "-c", (
+                "import sys; sys.path.insert(0, %r)\n"
+                "from aarhus_spark.session import get_spark\n"
+                "from aarhus_spark.sources.fixtures import gen_pages_spark\n"
+                "spark = get_spark('gen', master='local[24]')\n"
+                "spark.sparkContext.setLogLevel('ERROR')\n"
+                "gen_pages_spark(spark, %d, partitions=64)"
+                ".write.mode('overwrite').parquet(%r)\n"
+                "spark.stop()" % (REPO, n_pages, src)
+            )], capture_output=True, text=True, timeout=3600)
+        if gen.returncode != 0:
+            raise RuntimeError(gen.stderr[-3000:])
 
-    # deterministic synthetic input via the distributed generator
-    gen = subprocess.run(
-        [sys.executable, "-c", (
-            "import sys; sys.path.insert(0, %r)\n"
-            "from aarhus_spark.session import get_spark\n"
-            "from aarhus_spark.sources.fixtures import gen_pages_spark\n"
-            "spark = get_spark('gen', master='local[24]')\n"
-            "spark.sparkContext.setLogLevel('ERROR')\n"
-            "gen_pages_spark(spark, %d, partitions=64)"
-            ".write.mode('overwrite').parquet(%r)\n"
-            "spark.stop()" % (REPO, n_pages, src)
-        )], capture_output=True, text=True, timeout=3600)
-    if gen.returncode != 0:
-        raise RuntimeError(gen.stderr[-3000:])
-
+    # AARHUS_SCALING_SKIP_QUERIES=1: builds-only run (the gate metric
+    # is the BUILD efficiency; the query bench at the largest level is
+    # the informational extra and costs ~an hour at 1M docs)
+    skip_q = os.environ.get("AARHUS_SCALING_SKIP_QUERIES") == "1"
     results: dict[int, dict] = {}
     for i, lv in enumerate(levels):
         # query-path bench piggybacks on the LARGEST level's built index
         results[lv] = run_level(lv, src, workdir,
-                                bench_queries=(lv == max(levels)))
-        print(json.dumps({f"local{lv}": results[lv]}))
+                                bench_queries=(lv == max(levels)
+                                               and not skip_q))
+        print(json.dumps({f"local{lv}": results[lv]}), flush=True)
 
     # per-doubling + N→4N efficiencies over the measured curve
     doublings = [(a, b) for a, b in zip(levels, levels[1:]) if b == 2 * a]

@@ -284,3 +284,51 @@ def test_multi_match_pruned_escalates(spark, mf_index):
     pr = search_multi_match(spark, out, qdf, k=5, prune=True,
                             mode="most_fields").collect()
     assert sorted(map(tuple, ex)) == sorted(map(tuple, pr))
+
+
+@pytest.fixture(scope="module")
+def mf_tie_index(spark, tmpdir_session):
+    """Tie-heavy fixture: 40 docs share an IDENTICAL title ("apple
+    pie", same tf/dl → one score class) — the shape that defeats a
+    naive Fagin threshold (τ never drops below the tie value), so the
+    pruned combiner's tie-aware acceptance is what terminates."""
+    from aarhus_spark.operators.multifield import build_field_indexes
+    rows = []
+    for i in range(40):
+        rows.append((f"u://tie{i:02d}", "apple pie",
+                     f"banana cherry text{i} apple" if i % 3 == 0
+                     else f"durian text{i}"))
+    for i in range(15):
+        rows.append((f"u://var{i:02d}", f"cherry title{i}",
+                     f"apple banana cherry word{i}"))
+    pdf = pd.DataFrame(rows, columns=["url", "title", "text"])
+    pdf["warc_ts"] = pd.to_datetime("2026-01-01")
+    df = (spark.createDataFrame(pdf)
+          .withColumn("html", F.lit(None).cast("binary"))
+          .withColumn("lang", F.lit("en"))
+          .select("url", "warc_ts", "html", "text", "lang", "title"))
+    out = os.path.join(tmpdir_session, "mf_tie_idx")
+    build_field_indexes(spark, df, out,
+                        fields={"text": F.col("text"),
+                                "title": F.col("title")})
+    return out
+
+
+@pytest.mark.parametrize("mode,tie,boost,k", [
+    ("best_fields", 0.0, 2.0, 5),
+    ("best_fields", 0.0, 1.0, 3),
+    ("best_fields", 0.4, 2.0, 5),
+    ("most_fields", 0.0, 2.0, 5),
+])
+def test_multi_match_pruned_tie_heavy(spark, mf_tie_index, mode, tie,
+                                      boost, k):
+    from aarhus_spark.operators.multifield import search_multi_match
+    qdf = spark.createDataFrame(
+        [(0, "apple"), (1, "apple pie"), (2, "cherry")],
+        "query_id long, qtext string")
+    kw = dict(k=k, boosts={"title": boost}, mode=mode, tie_breaker=tie)
+    ex = search_multi_match(spark, mf_tie_index, qdf, prune=False, **kw).collect()
+    pr = search_multi_match(spark, mf_tie_index, qdf, prune=True, **kw).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert ({key(r): (r["docid"], r["score"]) for r in ex}
+            == {key(r): (r["docid"], r["score"]) for r in pr})
