@@ -969,8 +969,6 @@ def build_index(
     docs, n_docs, sumdl = prepare_and_assign_docids(spark, pages, n_partitions, docid_offset)
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     avgdl = float(sumdl) / n_docs if n_docs else 0.0
-    docs.select("docid", "url", "dl", "warc_ts").write.mode("overwrite").parquet(paths.doclens)
-    stage("prepare+docids+doclens", t0, n_docs=n_docs, avgdl=avgdl)
 
     # --- persist the build config BEFORE the fragment stage (validated
     #     against it on resume — see the guard at the top) ---
@@ -978,17 +976,31 @@ def build_index(
         with open(paths.build_config, "w") as f:
             json.dump(cfg, f)
 
-    # --- T5 head-term detection on a SAMPLE (one small python pass; the
-    #     full token stream is touched exactly once, in the fragment job).
-    #     The head set is persisted: resume MUST reuse the original
-    #     classification or bucket assignments would shift mid-build. ---
-    t0 = time.time()
-    heads_path = os.path.join(out_dir, "heads.json")
-    if resume and os.path.exists(heads_path):
-        with open(heads_path) as f:
-            heads_meta = json.load(f)
-        head_terms, head_thr = heads_meta["terms"], heads_meta["thr"]
-    else:
+    # --- S4 doclens sink ∥ T5 head-term detection (guide §2.6: the two
+    #     jobs share no dependency — both consume the persisted docs —
+    #     so the sample tokenize back-fills executors the write leaves
+    #     idle; measured ~0.6 s off every build at sf0.1). Head set on
+    #     a SAMPLE (one small python pass; the full token stream is
+    #     touched exactly once, in the fragment job). The head set is
+    #     persisted: resume MUST reuse the original classification or
+    #     bucket assignments would shift mid-build. ---
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_doclens() -> float:
+        spark.sparkContext.setJobDescription("build: doclens sink")
+        t = time.time()
+        docs.select("docid", "url", "dl", "warc_ts") \
+            .write.mode("overwrite").parquet(paths.doclens)
+        return time.time() - t
+
+    def _head_detect() -> tuple[list, int, float]:
+        spark.sparkContext.setJobDescription("build: head-detect sample")
+        t = time.time()
+        heads_path = os.path.join(out_dir, "heads.json")
+        if resume and os.path.exists(heads_path):
+            with open(heads_path) as f:
+                heads_meta = json.load(f)
+            return heads_meta["terms"], heads_meta["thr"], time.time() - t
         # 20k docs bounds the sample tokenize to a constant cost at any
         # corpus size; the df-quantile threshold estimate is already
         # stable well below this (head terms sit orders of magnitude
@@ -1004,14 +1016,26 @@ def build_index(
                 .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             thr_row = df_s.agg(F.percentile_approx("df", head_df_quantile).alias("t")).collect()[0]
-            head_thr = max(int(thr_row["t"] or 0), int(2 * BLOCK_SIZE * frac) + 1)
-            head_terms = [r["term"] for r in
-                          df_s.filter(F.col("df") > head_thr).select("term").collect()]
+            thr = max(int(thr_row["t"] or 0), int(2 * BLOCK_SIZE * frac) + 1)
+            terms = [r["term"] for r in
+                     df_s.filter(F.col("df") > thr).select("term").collect()]
         finally:
             df_s.unpersist()
         with open(heads_path, "w") as f:
-            json.dump({"terms": head_terms, "thr": head_thr, "frac": frac}, f)
-    stage("head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
+            json.dump({"terms": terms, "thr": thr, "frac": frac}, f)
+        return terms, thr, time.time() - t
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dl = pool.submit(_write_doclens)
+        f_hd = pool.submit(_head_detect)
+        f_dl.result()
+        head_terms, head_thr, hd_wall = f_hd.result()
+    spark.sparkContext.setJobDescription(None)
+    # stage names/count unchanged (manifest_audit counts distinct
+    # stages); the two walls overlap on the cluster
+    stage("prepare+docids+doclens", t0, n_docs=n_docs, avgdl=avgdl)
+    stage("head-detect", time.time() - hd_wall,
+          head_thr=head_thr, n_head=len(head_terms))
 
     # --- T1 tokenize + T5 salt/bucket in ONE python pass → big shuffle
     #     (token stream flows straight into the encoder: never persisted,

@@ -260,47 +260,65 @@ def compact_indexes(
         metrics.append({"stage": name, "wall_s": time.time() - t0,
                         **spill.delta(), **kw})
 
-    # --- new docid map + corpus stats (one pass over the union doclens);
-    #     tombstoned docids are purged first (module docstring) ---
-    t0 = time.time()
-    from .search import load_tombstones
-    dead, _dl_dead = load_tombstones(spark, dirs)
-    union_dl = _union_doclens(spark, dirs)
-    dead_df = None
-    if dead.size:
-        # Arrow path (one numpy→Arrow column), not a python list of
-        # tuples — bounded by TOMBSTONE_BUDGET but needlessly
-        # driver-heavy near the ceiling otherwise (same fix as
-        # incremental.py mask path)
-        dead_df = spark.createDataFrame(
-            pd.DataFrame({"dead_docid": dead.astype(np.int64)}))
-        union_dl = union_dl.join(
-            F.broadcast(dead_df),
-            union_dl["old_docid"] == dead_df["dead_docid"],
-            "left_anti")
-    id_map, n_docs, sumdl = _assign_new_docids(spark, union_dl, n_partitions)
-    avgdl = float(sumdl) / n_docs if n_docs else 0.0
-    id_map.select("docid", "url", "dl", "warc_ts") \
-        .write.mode("overwrite").parquet(paths.doclens)
-    stage("compact:docid-map+doclens", t0, n_docs=n_docs, avgdl=avgdl)
-
     if not (resume and os.path.exists(paths.build_config)):
         with open(paths.build_config, "w") as f:
             json.dump(cfg, f)
 
-    # --- exact head set from the union dictionary (reused on resume:
-    #     bucket assignments must not shift mid-compaction) ---
+    # --- new docid map + corpus stats (one pass over the union
+    #     doclens; tombstoned docids are purged first — module
+    #     docstring) ∥ exact head set from the union dictionary (guide
+    #     §2.6: the two stages read disjoint inputs — doclens +
+    #     tombstones vs dictionaries — so they overlap on the cluster;
+    #     head classification is reused on resume: bucket assignments
+    #     must not shift mid-compaction) ---
     t0 = time.time()
-    heads_path = os.path.join(out_dir, "heads.json")
-    if resume and os.path.exists(heads_path):
-        with open(heads_path) as f:
-            hm = json.load(f)
-        head_terms, head_thr = hm["terms"], hm["thr"]
-    else:
-        head_terms, head_thr = _head_terms_from_dictionaries(spark, dirs, head_df_quantile)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _docid_map():
+        spark.sparkContext.setJobDescription("compact: docid map + doclens")
+        from .search import load_tombstones
+        dead, _dl_dead = load_tombstones(spark, dirs)
+        union_dl = _union_doclens(spark, dirs)
+        if dead.size:
+            # Arrow path (one numpy→Arrow column), not a python list of
+            # tuples — bounded by TOMBSTONE_BUDGET but needlessly
+            # driver-heavy near the ceiling otherwise (same fix as
+            # incremental.py mask path)
+            dead_df = spark.createDataFrame(
+                pd.DataFrame({"dead_docid": dead.astype(np.int64)}))
+            union_dl = union_dl.join(
+                F.broadcast(dead_df),
+                union_dl["old_docid"] == dead_df["dead_docid"],
+                "left_anti")
+        m, n, sdl = _assign_new_docids(spark, union_dl, n_partitions)
+        m.select("docid", "url", "dl", "warc_ts") \
+            .write.mode("overwrite").parquet(paths.doclens)
+        return m, n, sdl
+
+    def _head_detect() -> tuple[list, int, float]:
+        spark.sparkContext.setJobDescription("compact: head-detect")
+        t = time.time()
+        heads_path = os.path.join(out_dir, "heads.json")
+        if resume and os.path.exists(heads_path):
+            with open(heads_path) as f:
+                hm = json.load(f)
+            return hm["terms"], hm["thr"], time.time() - t
+        terms, thr = _head_terms_from_dictionaries(spark, dirs, head_df_quantile)
         with open(heads_path, "w") as f:
-            json.dump({"terms": head_terms, "thr": head_thr, "frac": 1.0}, f)
-    stage("compact:head-detect", t0, head_thr=head_thr, n_head=len(head_terms))
+            json.dump({"terms": terms, "thr": thr, "frac": 1.0}, f)
+        return terms, thr, time.time() - t
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_map = pool.submit(_docid_map)
+        f_hd = pool.submit(_head_detect)
+        id_map, n_docs, sumdl = f_map.result()
+        head_terms, head_thr, hd_wall = f_hd.result()
+    spark.sparkContext.setJobDescription(None)
+    avgdl = float(sumdl) / n_docs if n_docs else 0.0
+    # stage names/count unchanged; the two walls overlap on the cluster
+    stage("compact:docid-map+doclens", t0, n_docs=n_docs, avgdl=avgdl)
+    stage("compact:head-detect", time.time() - hd_wall,
+          head_thr=head_thr, n_head=len(head_terms))
 
     # --- decode → remap docids (the one extra O(postings) shuffle
     #     compaction pays vs a build: the join against the id map).

@@ -90,32 +90,20 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
-                        max_bucket: int = 64) -> DataFrame:
-    """Band the signature (rows of band_size hashes), hash each band,
-    self-join on (band, band_hash) -> distinct candidate (doc_a, doc_b).
-
-    Degenerate-bucket handling: a band bucket holding f docs generates
-    O(f²) pairs inside ONE join key — mass-duplicated boilerplate (or a
-    tiny vocabulary) can put millions of docs in one bucket and melt a
-    single task at web scale. Buckets with > max_bucket docs therefore
-    do NOT all-pairs self-join; they emit STAR pairs instead —
-    (bucket-min doc_id, member) — O(f) pairs that keep every member
-    connected to one representative, which is exactly what keep-one
-    dedup needs. The recall trade, stated honestly: pairs BETWEEN two
-    non-representative members of an oversized cluster are not emitted,
-    and a near-dup cluster that saturates one band's bucket saturates
-    its other n_bands-1 buckets too (its signatures are near-identical),
-    so those member-member pairs are genuinely not produced anywhere —
-    they are NOT "caught in another band". Deterministic; mirrored in
-    the DuckDB oracle twin (harness_data._minhash_duck)."""
+def _lsh_candidate_pairs_lazy(sig: DataFrame, n_hashes: int = 8,
+                              band_size: int = 2,
+                              max_bucket: int = 64):
+    """Candidate-pair DAG without materialization: returns
+    ``(cand_lazy, bands_persisted)``. The caller owns the bands cache —
+    it must keep it alive until the one action that consumes ``cand``
+    has run, then unpersist. Shared by :func:`lsh_candidate_pairs`
+    (standalone, eager) and :func:`minhash_lsh_dedup` (which folds the
+    candidate DAG into the verify job: one Spark action instead of two
+    materialize+re-read round trips of the pair set — identical rows,
+    r8 A/B)."""
     from pyspark import StorageLevel
 
     n_bands = n_hashes // band_size
-    # union of per-band selects, NOT an explode of a per-row struct
-    # array: the branches share one ReusedExchange over the signature
-    # aggregation, and the measured wall is ~1.4 s faster at sf0.1 than
-    # the explode variant (r8 A/B) — keep the union.
     bands = None
     for b in range(n_bands):
         cols = "||','||".join(
@@ -123,10 +111,6 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
         piece = sig.select(
             "doc_id", F.lit(b).alias("band"), F.expr(_h(f"({cols})")).alias("bh"))
         bands = piece if bands is None else bands.unionByName(piece)
-    # three consumers (freq agg, small self-join, star join) — persist
-    # the narrow (doc_id, band, bh) rows or each recomputes the minhash
-    # signature aggregation from the shingle stream (measured 2.6× on
-    # the sf0.1 bench)
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     freq = bands.groupBy("band", "bh").agg(
         F.count("*").alias("f"), F.min("doc_id").alias("rep"))
@@ -146,13 +130,42 @@ def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
         .filter(F.col("doc_id") != F.col("rep"))     # rep = bucket min < doc_id
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
+    return full.unionByName(star).distinct(), bands
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_hashes: int = 8, band_size: int = 2,
+                        max_bucket: int = 64) -> DataFrame:
+    """Band the signature (rows of band_size hashes), hash each band,
+    self-join on (band, band_hash) -> distinct candidate (doc_a, doc_b).
+
+    Degenerate-bucket handling: a band bucket holding f docs generates
+    O(f²) pairs inside ONE join key — mass-duplicated boilerplate (or a
+    tiny vocabulary) can put millions of docs in one bucket and melt a
+    single task at web scale. Buckets with > max_bucket docs therefore
+    do NOT all-pairs self-join; they emit STAR pairs instead —
+    (bucket-min doc_id, member) — O(f) pairs that keep every member
+    connected to one representative, which is exactly what keep-one
+    dedup needs. The recall trade, stated honestly: pairs BETWEEN two
+    non-representative members of an oversized cluster are not emitted,
+    and a near-dup cluster that saturates one band's bucket saturates
+    its other n_bands-1 buckets too (its signatures are near-identical),
+    so those member-member pairs are genuinely not produced anywhere —
+    they are NOT "caught in another band". Deterministic; mirrored in
+    the DuckDB oracle twin (harness_data._minhash_duck).
+
+    Note: the union of per-band selects, NOT an explode of a per-row
+    struct array — the branches share one ReusedExchange over the
+    signature aggregation, and the measured wall is ~1.4 s faster at
+    sf0.1 than the explode variant (r8 A/B)."""
+    cand, bands = _lsh_candidate_pairs_lazy(sig, n_hashes, band_size,
+                                            max_bucket)
     # materialize the (small) pair set eagerly, then RELEASE the bands
     # cache — returning a lazy frame on top of a persisted internal
     # DataFrame would leak cached partitions on every call in a
     # long-lived session (the caller can't unpersist what it never
     # sees). localCheckpoint truncates the lineage so downstream
     # consumers never re-derive from the unpersisted bands.
-    cand = full.unionByName(star).distinct().localCheckpoint(eager=True)
+    cand = cand.localCheckpoint(eager=True)
     bands.unpersist()
     return cand
 
@@ -188,15 +201,26 @@ def minhash_lsh_dedup(df: DataFrame, n_hashes: int = 8, band_size: int = 2,
     (twice) and the size agg all consume it — four recomputations
     otherwise. At cluster scale swap the persist for a parquet/object
     -store checkpoint of the same frame (it is O(shingles) ≫ corpus
-    rows, but each row is ~30 B)."""
+    rows, but each row is ~30 B).
+
+    The candidate DAG stays LAZY here (``_lsh_candidate_pairs_lazy``)
+    and folds into the verify action: the standalone eager
+    checkpoint-then-re-read of the pair set bought nothing inside the
+    fused pipeline — one action instead of two (identical rows, r8
+    A/B; the wall win is the removed materialize+re-read round trip).
+    The bands and shingle caches are released only after the single
+    verify action."""
     from pyspark import StorageLevel
 
     sh = shingles(df).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, n_hashes)
-    cand = lsh_candidate_pairs(sig, n_hashes, band_size, max_bucket)
+    cand, bands = _lsh_candidate_pairs_lazy(sig, n_hashes, band_size,
+                                            max_bucket)
     # eager: materialize the verified pairs, then release the shingle
-    # cache (same leak-on-return argument as lsh_candidate_pairs)
+    # and bands caches (same leak-on-return argument as
+    # lsh_candidate_pairs)
     out = jaccard_verify(cand, sh, threshold).localCheckpoint(eager=True)
+    bands.unpersist()
     sh.unpersist()
     return out
 

@@ -222,8 +222,14 @@ def search_significant_terms(spark: SparkSession, index_dir,
     (the engine's smallest table), a tiny per-query window. All
     JVM-side column functions."""
     if matched is None:
+        # materialized once: TWO branches consume the match set
+        # (fg_size agg + the docterms join). Lazy, the whole TAAT
+        # scoring path would run once per branch — at 180k docs this
+        # op is the heaviest ES agg, so that doubling is the dominant
+        # avoidable cost (callers batching several aggs pass a shared
+        # persisted `matched` instead; this covers the standalone call)
         matched = search_matches(spark, index_dir, queries,
-                                 **bool_kwargs)
+                                 **bool_kwargs).localCheckpoint(eager=True)
     fg_size = matched.groupBy("query_id").agg(
         F.count("*").alias("fg_size"))
     meta = _doc_meta(spark, index_dir).select("docid", "url")
@@ -688,8 +694,11 @@ def search_top_hits(spark: SparkSession, index_dir, queries: DataFrame,
     Returns (query_id, bucket, doc_count, brank, hrank, docid,
     score)."""
     if matched is None:
+        # materialized once: the bucket-count agg and the hit window
+        # both consume the match set (same device as
+        # search_significant_terms — lazy it would score twice)
         matched = search_matches(spark, index_dir, queries,
-                                 **bool_kwargs)
+                                 **bool_kwargs).localCheckpoint(eager=True)
     meta = _doc_meta(spark, index_dir).select(
         "docid", F.regexp_extract("url", bucket_regex, 1).alias("bucket"))
     key = (F.round(F.col("score"), round_to) if round_to is not None
@@ -937,8 +946,11 @@ def search_collapse(spark: SparkSession, index_dir, queries: DataFrame,
     position, hrank = the hit's rank inside its group (hrank 1 IS the
     representative)."""
     if matched is None:
+        # materialized once: the group-representative window and the
+        # inner-hits filter both consume the match set (same device as
+        # search_significant_terms — lazy it would score twice)
         matched = search_matches(spark, index_dir, queries,
-                                 **bool_kwargs)
+                                 **bool_kwargs).localCheckpoint(eager=True)
     meta = _doc_meta(spark, index_dir).select(
         "docid", F.regexp_extract("url", collapse_regex, 1).alias("ckey"))
     key = (F.round(F.col("score"), round_to) if round_to is not None
