@@ -85,7 +85,7 @@ from pyspark.sql.window import Window
 from ..config import TOP_K
 from ..textops import tokenize
 from .build import IndexPaths, read_dictionary, read_doclens
-from .search import (RESULT_SCHEMA, _as_dirs, load_stats_multi,
+from .search import (RESULT_SCHEMA, _as_dirs, load_stats_multi, local_df,
                      search_phrase, search_taat, search_topk)
 
 # url host — same expression in the DuckDB twin (harness)
@@ -414,7 +414,8 @@ def search_highlight(spark: SparkSession, index_dir, queries: DataFrame,
     meta = _doc_meta(spark, index_dir).select("docid", "url")
     from .search import _QueryAnalysis
     qa = _QueryAnalysis(spark, queries)
-    qarr = spark.createDataFrame(
+    qarr = local_df(
+        spark,
         [(int(q), sorted(set(g))) for q, g in
          qa.qterms_pdf.groupby("query_id")["term"]],
         "query_id long, qterms array<string>")
@@ -508,8 +509,8 @@ def more_like_this(spark: SparkSession, index_dir, queries: DataFrame,
                                  max_query_terms)
         plans.append((qid, " ".join(terms)))
         seeds.append((qid, u))
-    qdf = spark.createDataFrame(plans, "query_id long, qtext string")
-    seed_df = spark.createDataFrame(seeds, "query_id long, url string")
+    qdf = local_df(spark, plans, "query_id long, qtext string")
+    seed_df = local_df(spark, seeds, "query_id long, url string")
     seed_ids = (seed_df.join(meta, "url")
                 .select("query_id", F.col("docid").alias("seed_docid")))
     # k+1 then exclude-and-rerank: the seed can occupy at most one slot
@@ -769,8 +770,8 @@ def search_range_agg(spark: SparkSession, index_dir, queries: DataFrame,
              float(lo) if lo is not None else None,
              float(hi) if hi is not None else None)
             for i, (key, lo, hi) in enumerate(ranges)]
-    rdf = spark.createDataFrame(
-        rows, "brank long, bucket string, lo double, hi double")
+    rdf = local_df(
+        spark, rows, "brank long, bucket string, lo double, hi double")
     if matched is None:
         matched = search_matches(spark, index_dir, queries,
                                  **bool_kwargs)
@@ -1018,7 +1019,8 @@ def search_explain(spark: SparkSession, index_dir, queries: DataFrame,
     if dead.size:
         seg = candidate_segments(spark, index_dir, terms)
         dfm = _global_df_map(spark, index_dir, terms, seg=seg, dead=dead)
-        dfs = spark.createDataFrame(
+        dfs = local_df(
+            spark,
             [(t, int(v)) for t, v in sorted(dfm.items())],
             "term string, df long")
     else:
@@ -1087,8 +1089,8 @@ def suggest_phrases(spark: SparkSession, index_dir, phrases: DataFrame,
     words = sorted({w for r in rows for w in tokenize(r["phrase"])})
     if not words:
         return spark.createDataFrame([], out_schema)
-    wdf = spark.createDataFrame(list(enumerate(words)),
-                                "word_id long, word string")
+    wdf = local_df(spark, list(enumerate(words)),
+                   "word_id long, word string")
     cand_rows = suggest_terms(spark, index_dir, wdf, max_edits=max_edits,
                               n_suggestions=per_word,
                               suggest_mode="always").collect()
@@ -1110,15 +1112,15 @@ def suggest_phrases(spark: SparkSession, index_dir, phrases: DataFrame,
             combo_id += 1
     if not meta:
         return spark.createDataFrame([], out_schema)
-    qdf = spark.createDataFrame([(cid, s) for cid, _, _, s, _ in meta],
-                                "query_id long, qtext string")
+    qdf = local_df(spark, [(cid, s) for cid, _, _, s, _ in meta],
+                   "query_id long, qtext string")
     counts = (search_taat(spark, index_dir, qdf, require_all=True,
                           return_matches=True)
               .groupBy("query_id")
               .agg(F.count("*").cast("long").alias("doc_count")))
-    mdf = spark.createDataFrame(
-        meta, "query_id long, phrase_id long, phrase string, "
-              "suggestion string, edits long")
+    mdf = local_df(
+        spark, meta, "query_id long, phrase_id long, phrase string, "
+                     "suggestion string, edits long")
     win = Window.partitionBy("phrase_id").orderBy(
         F.desc("doc_count"), F.asc("edits"), F.asc("suggestion"))
     return (mdf.join(counts, "query_id")   # inner: zero-evidence combos drop

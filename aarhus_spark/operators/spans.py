@@ -58,7 +58,8 @@ from ..textops import tokenize
 from .search import (RESULT_SCHEMA, _as_dirs, _chain_stats,
                      _decode_candidate_positions, _dfg_from_rows,
                      _dfg_or_none, _exact_anchor_keys, _idf, _sloppy_match,
-                     candidate_segments, default_n_ranges, docid_domain)
+                     candidate_segments, default_n_ranges, docid_domain,
+                     local_df)
 
 _MASK32 = np.int64((1 << 32) - 1)
 
@@ -222,7 +223,8 @@ def _dispatch(spark: SparkSession, index_dir, queries: DataFrame,
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     seg = candidate_segments(spark, index_dir, all_terms)
     dfg = _dfg_or_none(spark, index_dir, all_terms, seg=seg, dead=dead)
-    qdist = spark.createDataFrame(
+    qdist = local_df(
+        spark,
         [(qid, t) for qid, terms in plans.items() for t in sorted(set(terms))],
         "query_id long, term string")
     nr = n_ranges if n_ranges is not None else default_n_ranges(n_docs)
@@ -238,7 +240,8 @@ def _dispatch(spark: SparkSession, index_dir, queries: DataFrame,
     if dom_hi < dom_lo:
         return spark.createDataFrame([], schema=RESULT_SCHEMA)
     width = max(1, (dom_hi - dom_lo + 1 + nr - 1) // nr)
-    ranges = spark.createDataFrame(
+    ranges = local_df(
+        spark,
         [(r, dom_lo + r * width, dom_lo + (r + 1) * width - 1)
          for r in range(nr)], "rng int, lo long, hi long")
     seg2 = seg.withColumn("__max_docid",
