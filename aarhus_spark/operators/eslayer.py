@@ -86,7 +86,8 @@ from ..config import TOP_K
 from ..textops import tokenize
 from .build import IndexPaths, read_dictionary, read_doclens
 from .search import (RESULT_SCHEMA, _as_dirs, load_stats_multi, local_df,
-                     search_phrase, search_taat, search_topk)
+                     localize_queries, search_phrase, search_taat,
+                     search_topk)
 
 # url host — same expression in the DuckDB twin (harness)
 HOST_RE = r"^https?://([^/]+)"
@@ -406,6 +407,7 @@ def search_highlight(spark: SparkSession, index_dir, queries: DataFrame,
     lower + regexp split (the frozen T(text) for ASCII alnum runs),
     positions via array_position, snippet via slice + transform +
     array_join. Returns (query_id, rank, docid, snippet)."""
+    queries = localize_queries(spark, queries)  # top-k + analysis passes
     top = search_topk(spark, index_dir, queries, k=k, n_ranges=n_ranges)
     if round_to is not None:
         w0 = Window.partitionBy("query_id").orderBy(
@@ -589,6 +591,7 @@ def search_boosting(spark: SparkSession, index_dir, queries: DataFrame,
     demotion is one JVM CASE expression; then the standard per-query
     top-k window. Rows with a null ``neg_qtext`` take the plain-BM25
     path unchanged."""
+    queries = localize_queries(spark, queries)  # pos + neg + head passes
     pos = search_matches(spark, index_dir,
                          queries.select("query_id", "qtext"))
     nq = (queries.filter(F.col("neg_qtext").isNotNull())
@@ -653,6 +656,7 @@ def search_rescore(spark: SparkSession, index_dir, queries: DataFrame,
     primary rank ≤ window_size — no phrase hit that matters can be
     cut. Plan: two engine top-k's + one (query_id, docid) left join +
     one window — no extra decode passes."""
+    queries = localize_queries(spark, queries)  # two passes, one collect
     win = search_topk(spark, index_dir, queries, k=window_size,
                       n_ranges=n_ranges)
     ph = (search_phrase(spark, index_dir, queries, k=window_size,
@@ -1003,6 +1007,7 @@ def search_explain(spark: SparkSession, index_dir, queries: DataFrame,
     from ..config import B, K1
     from .search import (_QueryAnalysis, _chain_stats, _global_df_map,
                          candidate_segments)
+    queries = localize_queries(spark, queries)  # top-k + analysis passes
     top = search_topk(spark, index_dir, queries, k=k, n_ranges=n_ranges)
     if rank_round_to is not None:
         w0 = Window.partitionBy("query_id").orderBy(

@@ -79,6 +79,27 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
                                  schema=schema)
 
 
+def localize_queries(spark: SparkSession, queries: DataFrame) -> DataFrame:
+    """Collect a (human-scale, by contract) queries frame ONCE and
+    re-embed it as an Arrow LocalRelation with the same schema.
+
+    Ops that consume the frame more than once — rescore (primary pass
+    + phrase pass), highlight/explain (top-k + term analysis),
+    boosting (positive + negative match sets) — otherwise pay one full
+    task wave PER consumer when handed an RDD-backed frame
+    (``createDataFrame(list)``); localizing makes every later
+    analysis/collect job-free (see :func:`local_df`). Already-local
+    frames pass through untouched, so the common pandas-backed caller
+    pays nothing. Values and schema are identical either way."""
+    try:
+        plan = queries._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "LocalRelation":
+            return queries
+    except Exception:  # pragma: no cover — introspection is best-effort
+        pass
+    return spark.createDataFrame(queries.toPandas(), schema=queries.schema)
+
+
 def load_stats(index_dir: str) -> dict:
     """Read stats.json and REFUSE a layout-version mismatch: e.g. a v0.1
     index dir (tail rows present in BOTH segments/ and fragments/) read
