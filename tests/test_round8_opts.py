@@ -1,0 +1,122 @@
+"""Round-8 optimization regression tests.
+
+The round-8 changes are performance-only; these tests pin that each
+rewritten internal is value-identical to the straightforward path it
+replaced:
+
+1. ``local_df`` — Arrow-LocalRelation construction of small driver
+   frames — matches ``createDataFrame(list, schema)`` row-for-row for
+   every schema shape the operators feed it (ints, strings, nullable
+   doubles, array<string>, empty input).
+2. ``localize_queries`` passes an already-local frame through untouched
+   and reproduces an RDD-backed frame's rows and schema exactly.
+3. ``minhash_lsh_dedup``'s fused single-action pipeline equals the
+   eager two-step composition (shingles → candidate pairs → verify).
+4. The ES aggs that eagerly checkpoint a self-computed match set
+   (significant_terms as the representative) return the same rows as
+   the caller-supplied ``matched=`` path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# 1. local_df ≡ createDataFrame(list, schema)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rows,schema", [
+    ([(1, "hash"), (2, "join")], "query_id long, term string"),
+    ([(0, 0, 99), (1, 100, 199)], "rng int, lo long, hi long"),
+    ([(1, "k", None, 2.5), (2, "m", 1.0, None)],
+     "brank long, bucket string, lo double, hi double"),
+    ([], "rng int, lo long, hi long"),
+    ([(1, ["a", "b"]), (2, [])], "query_id long, qterms array<string>"),
+])
+def test_local_df_matches_list_path(spark, rows, schema):
+    from aarhus_spark.operators.search import local_df
+    got = local_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+
+
+def test_local_df_is_job_free_local_relation(spark):
+    from aarhus_spark.operators.search import local_df
+    df = local_df(spark, [(1, "a")], "query_id long, term string")
+    plan = df._jdf.queryExecution().optimizedPlan()
+    assert plan.getClass().getSimpleName() == "LocalRelation"
+
+
+# ---------------------------------------------------------------------------
+# 2. localize_queries
+# ---------------------------------------------------------------------------
+
+def test_localize_queries_passthrough_and_rdd(spark):
+    from aarhus_spark.operators.search import local_df, localize_queries
+    loc = local_df(spark, [(1, "a b")], "query_id long, qtext string")
+    assert localize_queries(spark, loc) is loc          # no-op when local
+    rdd_backed = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "query_id long, qtext string")
+    out = localize_queries(spark, rdd_backed)
+    assert out is not rdd_backed
+    assert out.schema == rdd_backed.schema
+    assert _rows(out) == _rows(rdd_backed)              # None preserved
+    plan = out._jdf.queryExecution().optimizedPlan()
+    assert plan.getClass().getSimpleName() == "LocalRelation"
+
+
+# ---------------------------------------------------------------------------
+# 3. fused minhash pipeline ≡ eager composition
+# ---------------------------------------------------------------------------
+
+def test_minhash_fused_equals_eager(spark):
+    from aarhus_spark.operators import dedup as D
+    from pyspark import StorageLevel
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["the quick brown fox jumps over the lazy dog"] * 3
+                + ["the quick brown fox jumps over the lazy cat"] * 2
+                + ["entirely different text body number %d here now" % i
+                   for i in range(3)],
+    }))
+    fused = _rows(D.minhash_lsh_dedup(docs, max_bucket=3))
+    sh = D.shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = D.minhash_signatures(sh, 8)
+    cand = D.lsh_candidate_pairs(sig, 8, 2, max_bucket=3)   # eager path
+    eager = _rows(D.jaccard_verify(cand, sh, 0.5))
+    sh.unpersist()
+    assert fused == eager and len(fused) > 0
+
+
+# ---------------------------------------------------------------------------
+# 4. checkpointed self-computed match set ≡ matched= path
+# ---------------------------------------------------------------------------
+
+def test_sigterms_checkpointed_matched_identical(spark, tmpdir_session):
+    import os
+    import shutil
+    from aarhus_spark.operators.build import build_index
+    from aarhus_spark.operators.eslayer import (search_matches,
+                                                search_significant_terms)
+    from aarhus_spark.sources.fixtures import gen_pages
+    out = os.path.join(tmpdir_session, "r8_sig_idx")
+    if not os.path.exists(os.path.join(out, "stats.json")):
+        shutil.rmtree(out, ignore_errors=True)
+        pdf = gen_pages(300)
+        build_index(spark, spark.createDataFrame(pdf), out)
+    pages = spark.createDataFrame(gen_pages(300)[["url", "text"]])
+    qdf = spark.createDataFrame([(0, "the data"), (1, "hash table")],
+                                "query_id long, qtext string")
+    auto = _rows(search_significant_terms(spark, out, qdf, pages, n_terms=5))
+    m = search_matches(spark, out, qdf).persist()
+    manual = _rows(search_significant_terms(spark, out, qdf, pages,
+                                            n_terms=5, matched=m))
+    m.unpersist()
+    assert auto == manual and len(auto) > 0
