@@ -1043,7 +1043,7 @@ def build_index(
     salted = tokenize_salt_bucket(docs, head_terms, n_docs, salts,
                                   n_buckets, docid_offset)
 
-    n_terms = encode_merge_finalize(
+    n_terms, has_head = encode_merge_finalize(
         spark, salted, paths, avgdl=avgdl, head_terms=head_terms, n_docs=n_docs,
         salts=salts, n_buckets=n_buckets, max_postings_per_row=max_postings_per_row,
         docid_offset=docid_offset, resume=resume, committer=committer, stage=stage)
@@ -1054,10 +1054,13 @@ def build_index(
         "N": n_docs,
         "avgdl": avgdl,
         "n_terms": n_terms,
-        # layered store: does fragments/ hold tail rows to union at query
-        # time? Cached here so per-query planning never stats the
-        # directory (at object-store scale a LIST call per query per dir)
+        # layered store: does fragments/ hold tail rows — and segments/
+        # any merged head rows — to union at query time? Cached here so
+        # per-query planning never stats a directory (at object-store
+        # scale a LIST call per query per dir) and never scans an empty
+        # layer
         "has_tail": os.path.isdir(paths.fragments) and bool(os.listdir(paths.fragments)),
+        "has_head": has_head,
         "build_config": {
             "n_partitions": n_partitions, "n_buckets": n_buckets,
             "salts": salts, "head_thr": head_thr, "docid_offset": docid_offset,
@@ -1089,12 +1092,13 @@ def encode_merge_finalize(
     resume: bool,
     committer: FragmentCommitter | None,
     stage,
-) -> int:
+) -> tuple[int, bool]:
     """The shared back half of every index-producing job (build_index
     and compact_indexes): resume-filter → THE big bucket shuffle →
     fragment encode with the per-bucket checkpoint sink → head-merge
     overlay → dictionary. ``salted`` is the per-posting token stream
-    (docid, term, tf, dl, posb, bucket). Returns n_terms."""
+    (docid, term, tf, dl, posb, bucket). Returns (n_terms, has_head) —
+    has_head = the merged overlay holds at least one segment row."""
     # --- resume filter: only buckets without a manifest ---
     done = _done_buckets(paths.manifests) if resume else set()
     if not resume:
@@ -1181,12 +1185,18 @@ def encode_merge_finalize(
            .agg(F.sum("n").alias("df"), F.sum("cf").alias("cf"))
            .sort("term")
            .observe(obs, F.count(F.lit(1)).alias("n_terms")))
+    # head-overlay row count rides the segments write the same way
+    # n_terms rides the dictionary write: stats.json caches has_head so
+    # query planning can skip scanning an EMPTY overlay (a corpus with
+    # no head terms — candidate_segments) without a per-query listing
+    obs_head = Observation()
+    head = head.observe(obs_head, F.count(F.lit(1)).alias("head_rows"))
 
-    def _write_segments() -> float:
+    def _write_segments() -> tuple[int, float]:
         spark.sparkContext.setJobDescription("finalize: head merge overlay")
         t = time.time()
         head.write.mode("overwrite").parquet(paths.segments)
-        return time.time() - t
+        return int(obs_head.get["head_rows"]), time.time() - t
 
     def _write_dictionary() -> tuple[int, float]:
         spark.sparkContext.setJobDescription("finalize: dictionary")
@@ -1197,14 +1207,14 @@ def encode_merge_finalize(
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_seg = pool.submit(_write_segments)
         f_dic = pool.submit(_write_dictionary)
-        seg_wall = f_seg.result()
+        head_rows, seg_wall = f_seg.result()
         n_terms, dic_wall = f_dic.result()
     spark.sparkContext.setJobDescription(None)
     # stage names/count unchanged (manifest_audit counts distinct
     # stages); the two walls now OVERLAP on the cluster
     stage("merge+segments", t0 + max(0.0, (time.time() - t0) - seg_wall))
     stage("dictionary", time.time() - dic_wall, n_terms=n_terms)
-    return n_terms
+    return n_terms, head_rows > 0
 
 
 def _dir_complete(path: str) -> bool:

@@ -338,7 +338,7 @@ def compact_indexes(
               .select("docid", "term", "tf", "dl", "posb"))
     salted = salt_bucket_tokens(tokens, head_terms, n_docs, salts, n_buckets)
 
-    n_terms = encode_merge_finalize(
+    n_terms, has_head = encode_merge_finalize(
         spark, salted, paths, avgdl=avgdl, head_terms=head_terms, n_docs=n_docs,
         salts=salts, n_buckets=n_buckets, max_postings_per_row=max_postings_per_row,
         docid_offset=0, resume=resume, committer=committer, stage=stage)
@@ -349,6 +349,7 @@ def compact_indexes(
         "avgdl": avgdl,
         "n_terms": n_terms,
         "has_tail": os.path.isdir(paths.fragments) and bool(os.listdir(paths.fragments)),
+        "has_head": has_head,
         "build_config": {
             "n_partitions": n_partitions, "n_buckets": n_buckets,
             "salts": salts, "head_thr": head_thr, "docid_offset": 0,

@@ -373,11 +373,16 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
         st = load_stats(d)
         maxpost = int(st.get("build_config", {}).get(
             "max_postings_per_row", 1 << 62))
-        seg = (read_segments(spark, d)
-               .filter(F.col("term").isin(terms)))
+        seg = None
+        # layer existence cached in stats.json at build time — no
+        # per-query directory listing, and an EMPTY layer (has_head
+        # False: a corpus with no head terms — every small index) is
+        # not scanned or unioned at all. Missing key (pre-r8 index) =
+        # scan as before.
+        if st.get("has_head", True):
+            seg = (read_segments(spark, d)
+                   .filter(F.col("term").isin(terms)))
         frag_dir = IndexPaths(d).fragments
-        # tail existence cached in stats.json at build time — no per-query
-        # directory listing (an object-store LIST per query per dir)
         if st.get("has_tail", os.path.isdir(frag_dir) and bool(os.listdir(frag_dir))):
             # fragment rows are written in xxhash64(term) order (the
             # shuffle sort key), so row-group min/max stats are tight on
@@ -395,7 +400,10 @@ def candidate_segments(spark: SparkSession, index_dir, terms: list[str]) -> Data
                     .select("term", F.col("n").alias("df"), "cf",
                             F.lit(0).alias("chunk"), "n", "first_docid",
                             "blocks", "postings"))
-            seg = seg.unionByName(tail)
+            seg = tail if seg is None else seg.unionByName(tail)
+        if seg is None:      # both layers recorded absent (empty index)
+            from .build import SEGMENT_SCHEMA
+            seg = spark.createDataFrame([], SEGMENT_SCHEMA)
         seg = seg.withColumn("src_avgdl", F.lit(per_dir[d]))
         out = seg if out is None else out.unionByName(seg)
     return out

@@ -99,6 +99,37 @@ def test_minhash_fused_equals_eager(spark):
 # 4. checkpointed self-computed match set ≡ matched= path
 # ---------------------------------------------------------------------------
 
+def test_has_head_skip_is_value_identical(spark, tmpdir_session):
+    """stats.json records has_head; planning skips the empty segments
+    overlay, and results are identical to the pre-r8 always-scan path
+    (simulated by deleting the key)."""
+    import json
+    import os
+    import shutil
+    from aarhus_spark.operators.build import build_index
+    from aarhus_spark.operators.search import search_taat
+    from aarhus_spark.sources.fixtures import gen_pages, gen_queries
+    out = os.path.join(tmpdir_session, "r8_hh_idx")
+    shutil.rmtree(out, ignore_errors=True)
+    # 150 docs: max possible df (150) < the 2·BLOCK_SIZE+1 head-threshold
+    # floor, so the index is guaranteed head-free
+    pdf = gen_pages(150)
+    build_index(spark, spark.createDataFrame(pdf), out)
+    sp = os.path.join(out, "stats.json")
+    st = json.load(open(sp))
+    assert st["has_head"] is False
+    qdf = spark.createDataFrame(gen_queries(pdf).head(5))
+    skipped = _rows(search_taat(spark, out, qdf))
+    st.pop("has_head")
+    json.dump(st, open(sp, "w"))            # pre-r8 index: key absent
+    try:
+        legacy = _rows(search_taat(spark, out, qdf))
+    finally:
+        st["has_head"] = False
+        json.dump(st, open(sp, "w"))
+    assert skipped == legacy and len(skipped) > 0
+
+
 def test_sigterms_checkpointed_matched_identical(spark, tmpdir_session):
     import os
     import shutil
