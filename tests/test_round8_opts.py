@@ -99,6 +99,36 @@ def test_minhash_fused_equals_eager(spark):
 # 4. checkpointed self-computed match set ≡ matched= path
 # ---------------------------------------------------------------------------
 
+def test_spilltracker_incremental_sees_forced_spill(spark):
+    """The r8 incremental SpillTracker (early-stop stage scan) observes
+    a genuinely forced spill in its delta, agrees with the full-scan
+    spill_totals reader, and reports zero when nothing new ran."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from aarhus_spark.metrics import SpillTracker, spill_totals
+    tr = SpillTracker(spark)
+    full_before = spill_totals(spark)
+    old = spark.conf.get("spark.sql.windowExec.buffer.spill.threshold", None)
+    try:
+        spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "2048")
+        spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold",
+                       "2048")
+        w = (Window.partitionBy(F.expr("id % 2")).orderBy("id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        (spark.range(150_000)
+         .withColumn("rs", F.sum("id").over(w))
+         .agg(F.max("rs")).collect())
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", old)
+        spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+    d = tr.delta()
+    full_after = spill_totals(spark)
+    assert d["disk_spill_bytes"] > 0
+    assert d["disk_spill_bytes"] == full_after[1] - full_before[1]
+    assert tr.delta() == {"mem_spill_bytes": 0, "disk_spill_bytes": 0}
+
+
 def test_has_head_skip_is_value_identical(spark, tmpdir_session):
     """stats.json records has_head; planning skips the empty segments
     overlay, and results are identical to the pre-r8 always-scan path
