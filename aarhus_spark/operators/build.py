@@ -984,6 +984,11 @@ def build_index(
     #     touched exactly once, in the fragment job). The head set is
     #     persisted: resume MUST reuse the original classification or
     #     bucket assignments would shift mid-build. ---
+    # materialize the docs cache ONCE before the pool: two concurrent
+    # first consumers would otherwise race the cache and each compute
+    # the assign pass (the full text round-trips Python/Arrow there) —
+    # measured +9.6 s on a 1M-page local[1] build
+    docs.count()
     from concurrent.futures import ThreadPoolExecutor
 
     def _write_doclens() -> float:
