@@ -70,6 +70,14 @@ def main():
         "search_sigterms": lambda: search_significant_terms(
             spark, idx_dir, qdf, pages, n_terms=10),
     }
+    # r8 session-2 additions: the span and highlight paths gained
+    # LocalRelation query frames (search.local_df) — capture them too
+    from aarhus_spark.operators.eslayer import search_highlight
+    from aarhus_spark.operators.spans import search_span_near
+    plans["search_span"] = lambda: search_span_near(
+        spark, idx_dir, ph, slop=3, in_order=True)
+    plans["search_highlight"] = lambda: search_highlight(
+        spark, idx_dir, qdf, pages, k=10, window=4)
     for name, fn in plans.items():
         try:
             txt = grab(fn())
